@@ -1,0 +1,169 @@
+"""BA engine tests (SURVEY §4: optimizer tests — motion-only gating semantics,
+Schur equivalence vs dense solve on toy graphs)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam2v2_1_tpu.ops import ba, lie
+
+K = jnp.array([500.0, 500.0, 320.0, 240.0])
+BF = jnp.float32(500.0 * 0.1)
+
+
+def synth_scene(rng, n_pts=80, n_cams=4, noise=0.3, spread=2.0):
+    """Points in a box ~5m ahead; cameras on a small baseline arc."""
+    pts = np.stack(
+        [
+            rng.uniform(-spread, spread, n_pts),
+            rng.uniform(-spread, spread, n_pts),
+            rng.uniform(4.0, 8.0, n_pts),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    poses = []
+    for i in range(n_cams):
+        xi = np.zeros(6, np.float32)
+        xi[0] = 0.3 * i  # baseline along x
+        xi[4] = 0.02 * i  # slight rotation
+        poses.append(np.asarray(lie.se3_exp(jnp.asarray(xi))))
+    poses = np.stack(poses)
+    return jnp.asarray(poses), jnp.asarray(pts)
+
+
+def make_obs(poses, pts, noise_px, rng, stereo=False):
+    C, P = poses.shape[0], pts.shape[0]
+    cam_idx = np.repeat(np.arange(C), P).astype(np.int32)
+    pt_idx = np.tile(np.arange(P), C).astype(np.int32)
+    from orb_slam2v2_1_tpu.ops.projection import project_stereo
+
+    targets = np.array(
+        project_stereo(poses[cam_idx], pts[pt_idx], K, BF)
+    )
+    targets += rng.normal(0, noise_px, targets.shape).astype(np.float32)
+    O = len(cam_idx)
+    return ba.Obs(
+        cam_idx=jnp.asarray(cam_idx),
+        pt_idx=jnp.asarray(pt_idx),
+        target=jnp.asarray(targets),
+        inv_sigma2=jnp.ones(O),
+        is_stereo=jnp.full(O, stereo),
+        valid=jnp.ones(O, bool),
+    )
+
+
+class TestPoseOptimization:
+    def test_recovers_pose(self, rng):
+        poses, pts = synth_scene(rng, n_cams=1)
+        obs = make_obs(poses, pts, 0.5, rng)
+        # Perturb the camera pose.
+        xi = jnp.asarray(rng.normal(0, 0.05, 6).astype(np.float32))
+        T0 = lie.se3_exp(xi) @ poses[0]
+        T, inliers, n = ba.pose_optimization(T0, pts, obs, K, BF)
+        err = np.asarray(lie.se3_log(lie.se3_inverse(T) @ poses[0]))
+        assert np.linalg.norm(err) < 0.01, err
+        assert int(n) > 70
+
+    def test_outlier_gating(self, rng):
+        poses, pts = synth_scene(rng, n_cams=1)
+        obs = make_obs(poses, pts, 0.3, rng)
+        # Corrupt 20% of the observations badly.
+        O = obs.target.shape[0]
+        bad = np.zeros(O, bool)
+        bad[rng.choice(O, O // 5, replace=False)] = True
+        target = np.array(obs.target)
+        target[bad] += rng.uniform(30, 80, (bad.sum(), 3)).astype(np.float32)
+        obs = obs._replace(target=jnp.asarray(target))
+
+        xi = jnp.asarray(rng.normal(0, 0.03, 6).astype(np.float32))
+        T0 = lie.se3_exp(xi) @ poses[0]
+        T, inliers, n = ba.pose_optimization(T0, pts, obs, K, BF)
+        inliers = np.asarray(inliers)
+        # All corrupted obs must be flagged outliers; most clean obs kept.
+        assert not inliers[bad].any()
+        assert inliers[~bad].mean() > 0.9
+        err = np.asarray(lie.se3_log(lie.se3_inverse(T) @ poses[0]))
+        assert np.linalg.norm(err) < 0.01
+
+    def test_stereo_observations(self, rng):
+        poses, pts = synth_scene(rng, n_cams=1)
+        obs = make_obs(poses, pts, 0.3, rng, stereo=True)
+        xi = jnp.asarray(rng.normal(0, 0.04, 6).astype(np.float32))
+        T0 = lie.se3_exp(xi) @ poses[0]
+        T, _, n = ba.pose_optimization(T0, pts, obs, K, BF)
+        err = np.asarray(lie.se3_log(lie.se3_inverse(T) @ poses[0]))
+        assert np.linalg.norm(err) < 0.01
+        assert int(n) > 70
+
+
+class TestBundleAdjust:
+    def _problem(self, rng, noise_px=0.3, perturb=0.02, stereo=True):
+        poses, pts = synth_scene(rng)
+        obs = make_obs(poses, pts, noise_px, rng, stereo=stereo)
+        C = poses.shape[0]
+        poses_n = lie.se3_exp(
+            jnp.asarray(
+                np.concatenate(
+                    [np.zeros((2, 6)), rng.normal(0, perturb, (C - 2, 6))]
+                ).astype(np.float32)
+            )
+        ) @ poses
+        pts_n = pts + jnp.asarray(rng.normal(0, 0.05, pts.shape).astype(np.float32))
+        fixed = jnp.asarray(np.array([True, True] + [False] * (C - 2)))
+        prob = ba.BAProblem(poses=poses_n, points=pts_n, obs=obs, cam_fixed=fixed, K=K, bf=BF)
+        return prob, poses, pts
+
+    def test_reduces_error(self, rng):
+        prob, gt_poses, gt_pts = self._problem(rng)
+        prob2, cost = ba.bundle_adjust(prob)
+        # Pose error vs ground truth must shrink substantially.
+        def pose_err(poses):
+            e = lie.se3_log(lie.se3_inverse(poses) @ gt_poses)
+            return float(jnp.linalg.norm(e))
+
+        assert pose_err(prob2.poses) < 0.25 * pose_err(prob.poses)
+        assert np.isfinite(float(cost))
+
+    def test_fixed_cameras_unchanged(self, rng):
+        prob, _, _ = self._problem(rng)
+        prob2, _ = ba.bundle_adjust(prob)
+        np.testing.assert_allclose(prob2.poses[:2], prob.poses[:2], atol=1e-6)
+
+
+class TestSchurEquivalence:
+    def test_matches_dense_gauss_newton(self, rng):
+        """The matrix-free Schur-PCG camera step must match the dense normal
+        equations solution on a small, well-conditioned problem."""
+        poses, pts = synth_scene(rng, n_pts=30, n_cams=3)
+        obs = make_obs(poses, pts, 0.5, rng, stereo=True)
+        C, P = 3, 30
+        poses_n = lie.se3_exp(jnp.asarray(rng.normal(0, 0.01, (C, 6)).astype(np.float32))) @ poses
+        pts_n = pts + jnp.asarray(rng.normal(0, 0.02, pts.shape).astype(np.float32))
+        fixed = jnp.zeros(C, bool)
+        prob = ba.BAProblem(poses=poses_n, points=pts_n, obs=obs, cam_fixed=fixed, K=K, bf=BF)
+
+        inlier = prob.obs.valid.astype(jnp.float32)
+        r, Jc, Jp, w, cost, _, _ = ba._build_system(prob, False, inlier)
+        lam = jnp.float32(1e-4)
+        dx_cam, dx_pt = ba._schur_solve(prob, r, Jc, Jp, w, lam, cg_iters=60)
+
+        # Dense reference: full (6C+3P) damped normal equations in f64.
+        r64 = np.asarray(r, np.float64)
+        Jc64 = np.asarray(Jc, np.float64)
+        Jp64 = np.asarray(Jp, np.float64)
+        w64 = np.asarray(w, np.float64)
+        O = r64.shape[0]
+        n = 6 * C + 3 * P
+        J = np.zeros((O * 3, n))
+        for o in range(O):
+            c, p = int(obs.cam_idx[o]), int(obs.pt_idx[o])
+            J[o * 3 : o * 3 + 3, c * 6 : c * 6 + 6] = Jc64[o]
+            J[o * 3 : o * 3 + 3, 6 * C + p * 3 : 6 * C + p * 3 + 3] = Jp64[o]
+        W = np.repeat(w64, 3)
+        H = J.T @ (J * W[:, None])
+        g = J.T @ (r64.reshape(-1) * W)
+        H_d = H + float(lam) * np.diag(np.diag(H)) + 1e-8 * np.eye(n)
+        dx = np.linalg.solve(H_d, -g)
+        np.testing.assert_allclose(
+            np.asarray(dx_cam).reshape(-1), dx[: 6 * C], rtol=0.05, atol=5e-5
+        )
