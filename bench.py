@@ -1,0 +1,64 @@
+"""Headline benchmark: end-to-end RGB-D SLAM tracking throughput on TPU.
+
+Runs the full pipeline (ORB extraction -> motion-model tracking -> local-map
+tracking -> keyframe policy -> local mapping/BA) over a synthetic desk
+sequence and reports steady-state frames/s. Baseline: the reference's
+real-time claim of 30 Hz on a desktop i7 (README.md:61,125; BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from orb_slam2v2_1_tpu.models.system import SlamSystem, Sensor
+    from orb_slam2v2_1_tpu.utils import synthetic
+    from orb_slam2v2_1_tpu.utils.config import SlamConfig
+
+    cfg = SlamConfig(
+        fx=550.0, fy=550.0, cx=320.0, cy=240.0, width=640, height=480,
+        n_features=1000, max_keyframes=128, max_map_points=16384, fps=30.0,
+        bf=44.0, th_depth=40.0,
+    )
+    rng = np.random.default_rng(7)
+    scene = synthetic.make_desk(rng)
+    poses = synthetic.desk_trajectory(40)
+    poses = [p @ np.linalg.inv(poses[0]) for p in poses]
+    K = jnp.asarray(cfg.K)
+    frames = []
+    for Tcw in poses:
+        img, depth = synthetic.render(scene, jnp.asarray(Tcw), K, cfg.width, cfg.height)
+        frames.append((np.asarray(img), np.asarray(depth)))
+
+    def run():
+        slam = SlamSystem(config=cfg, sensor=Sensor.RGBD)
+        t0 = time.time()
+        n_ok = 0
+        for i, (img, depth) in enumerate(frames):
+            if slam.track_rgbd(img, depth, timestamp=i / 30.0) is not None:
+                n_ok += 1
+        return time.time() - t0, n_ok
+
+    run()  # warm-up: compile everything
+    wall, n_ok = run()  # steady state
+    fps = len(frames) / wall
+    print(
+        json.dumps(
+            {
+                "metric": "rgbd_tracking_fps",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

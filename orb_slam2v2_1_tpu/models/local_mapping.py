@@ -1,0 +1,492 @@
+"""Local mapping: map-point triangulation, culling, and windowed local BA.
+
+TPU-native replacement for the reference `LocalMapping` thread
+(src/LocalMapping.cc): `CreateNewMapPoints` (:215-460), `MapPointCulling`
+(:178-213), and the `Optimizer::LocalBundleAdjustment` windowing
+(src/Optimizer.cc:453-780). Everything operates on the fixed-capacity
+`MapState` with masked appends; the host scheduler decides *when* to run
+these programs (synchronously after keyframe insertion for now, matching the
+reference's queue semantics without its races).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import ba, hamming, matching
+from ..ops.triangulate import triangulate, projection_matrix
+from .map_state import MapState, covisibility, mp_observation_count
+from .tracking import INV_LEVEL_SIGMA2, N_LEVELS, SCALE
+
+TRI_NEIGHBORS = 10  # mono uses 20, stereo 10 (src/LocalMapping.cc:219)
+NEW_MP_CAP = 384  # max new points accepted per neighbor pair
+BA_CAMS = 32  # local window cameras (free)
+BA_FIXED = 16  # boundary cameras (fixed)
+BA_PTS = 8192
+BA_OBS = 24576
+
+
+def _cam_center(pose):
+    return -pose[..., :3, :3].transpose(*range(pose.ndim - 2), -1, -2) @ pose[..., :3, 3:4]
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def create_map_points(
+    state: MapState,
+    kf_id: jax.Array,
+    K: jax.Array,
+    bf: jax.Array,
+    key: jax.Array,
+):
+    """Triangulate new map points between the new keyframe and its best
+    covisible neighbors (LocalMapping::CreateNewMapPoints,
+    src/LocalMapping.cc:215-460 + ORBmatcher::SearchForTriangulation
+    src/ORBmatcher.cc:657-825)."""
+    del key
+    C = covisibility(state)
+    neigh_w, neigh_idx = jax.lax.top_k(C[kf_id], TRI_NEIGHBORS)
+
+    def per_neighbor(state, args):
+        n_kf, weight = args
+        state = _triangulate_pair(state, kf_id, n_kf, weight > 0, K, bf)
+        return state, None
+
+    state, _ = jax.lax.scan(per_neighbor, state, (neigh_idx, neigh_w))
+    return state
+
+
+def _triangulate_pair(state: MapState, kf1, kf2, pair_ok, K, bf):
+    N = state.kf_xy.shape[1]
+    M = state.mp_pos.shape[0]
+
+    pose1 = state.kf_pose[kf1]
+    pose2 = state.kf_pose[kf2]
+    c1 = -pose1[:3, :3].T @ pose1[:3, 3]
+    c2 = -pose2[:3, :3].T @ pose2[:3, 3]
+    baseline = jnp.linalg.norm(c2 - c1)
+
+    # Median scene depth of kf2 for the mono baseline check
+    # (src/LocalMapping.cc:246-255): baseline/medianDepth > 0.01.
+    mp2 = state.kf_mp[kf2]
+    has2 = (mp2 >= 0) & state.kf_kp_valid[kf2]
+    pz = (pose2[2, :3] @ state.mp_pos[jnp.maximum(mp2, 0)].T) + pose2[2, 3]
+    pz = jnp.where(has2, pz, jnp.nan)
+    median_depth = jnp.nanmedian(pz)
+    pair_ok = pair_ok & (baseline / jnp.maximum(median_depth, 1e-6) > 0.01)
+
+    # Match *unassociated* keypoints of both frames.
+    free1 = state.kf_kp_valid[kf1] & (state.kf_mp[kf1] < 0)
+    free2 = state.kf_kp_valid[kf2] & (state.kf_mp[kf2] < 0)
+    d1 = hamming.unpack_pm1(state.kf_desc[kf1])
+    d2 = hamming.unpack_pm1(state.kf_desc[kf2])
+
+    # Epipolar constraint: distance of kp2 to the epipolar line of kp1 under
+    # F12 (CheckDistEpipolarLine, src/ORBmatcher.cc:140-157).
+    Km = jnp.array([[K[0], 0, K[2]], [0, K[1], K[3]], [0, 0, 1.0]])
+    Kinv = jnp.linalg.inv(Km)
+    T12 = pose1 @ jnp.linalg.inv(pose2)  # maps cam2 -> cam1
+    R12, t12 = T12[:3, :3], T12[:3, 3]
+    tx = jnp.array(
+        [[0, -t12[2], t12[1]], [t12[2], 0, -t12[0]], [-t12[1], t12[0], 0]]
+    )
+    F12 = Kinv.T @ tx @ R12 @ Kinv
+    x1h = jnp.concatenate([state.kf_xy[kf1], jnp.ones((N, 1))], -1)
+    x2h = jnp.concatenate([state.kf_xy[kf2], jnp.ones((N, 1))], -1)
+    lines = x1h @ F12  # (N,3): epipolar line in image 2 for each kp1
+    num = jnp.abs(lines @ x2h.T)  # (N1, N2)
+    den = jnp.sqrt(jnp.maximum(lines[:, 0] ** 2 + lines[:, 1] ** 2, 1e-12))[:, None]
+    epi_d2 = (num / den) ** 2
+    sigma2_2 = SCALE ** (2 * state.kf_level[kf2].astype(jnp.float32))
+    epi_ok = epi_d2 < 3.84 * sigma2_2[None, :]
+
+    mask = free1[:, None] & free2[None, :] & epi_ok
+    m = matching.match_nn(d1, d2, mask, max_dist=matching.TH_LOW, nn_ratio=1.0)
+    dang = state.kf_angle[kf1] - state.kf_angle[kf2][m.idx]
+    ok = matching.rotation_consistency(dang, m.ok)
+    m = matching.resolve_duplicates(m.idx, m.dist, ok, N)
+    ok = m.ok & pair_ok
+
+    # Triangulate matches.
+    P1 = projection_matrix(pose1, K)
+    P2 = projection_matrix(pose2, K)
+    x1 = state.kf_xy[kf1]
+    x2 = state.kf_xy[kf2][m.idx]
+    X = triangulate(P1, P2, x1, x2)
+
+    # Audits (src/LocalMapping.cc:326-439): parallax, depths, reproj chi2,
+    # scale-consistency.
+    r1 = X - c1
+    r2 = X - c2
+    n1 = jnp.linalg.norm(r1, axis=-1)
+    n2 = jnp.linalg.norm(r2, axis=-1)
+    cos_par = jnp.sum(r1 * r2, -1) / jnp.maximum(n1 * n2, 1e-12)
+    z1 = (pose1[2, :3] @ X.T) + pose1[2, 3]
+    z2 = (pose2[2, :3] @ X.T) + pose2[2, 3]
+
+    def reproj_err(pose, xy):
+        from ..ops.projection import project
+
+        return jnp.sum((project(pose, X, K) - xy) ** 2, axis=-1)
+
+    s2_1 = SCALE ** (2 * state.kf_level[kf1].astype(jnp.float32))
+    s2_2m = sigma2_2[m.idx]
+    e1_ok = reproj_err(pose1, x1) < 5.991 * s2_1
+    e2_ok = reproj_err(pose2, x2) < 5.991 * s2_2m
+
+    ratio_dist = n1 / jnp.maximum(n2, 1e-12)
+    ratio_octave = SCALE ** (
+        (state.kf_level[kf1] - state.kf_level[kf2][m.idx]).astype(jnp.float32)
+    )
+    scale_ok = (ratio_dist < ratio_octave * 1.5 ** 1.5) & (
+        ratio_dist > ratio_octave / (1.5 ** 1.5)
+    )
+
+    good = (
+        ok
+        & jnp.all(jnp.isfinite(X), -1)
+        & (cos_par < 0.9998)
+        & (z1 > 0)
+        & (z2 > 0)
+        & e1_ok
+        & e2_ok
+        & scale_ok
+    )
+
+    # Masked append: new point j gets slot n_mp + rank(j among good).
+    rank = jnp.cumsum(good.astype(jnp.int32)) - 1
+    cap_ok = good & (rank < NEW_MP_CAP) & ((state.n_mp + rank) < M)
+    slot = jnp.where(cap_ok, state.n_mp + rank, M)  # M = parked/dropped
+
+    mp_pos = jnp.concatenate([state.mp_pos, jnp.zeros((1, 3))]).at[slot].set(X)[:M]
+    mp_valid = jnp.concatenate([state.mp_valid, jnp.zeros(1, bool)]).at[slot].set(True)[:M]
+    mp_desc = (
+        jnp.concatenate([state.mp_desc, jnp.zeros((1, 8), jnp.uint32)])
+        .at[slot]
+        .set(state.kf_desc[kf1])[:M]
+    )
+    mp_first = (
+        jnp.concatenate([state.mp_first_kf, jnp.zeros(1, jnp.int32)])
+        .at[slot]
+        .set(jnp.broadcast_to(kf1, slot.shape))[:M]
+    )
+    mp_vis = jnp.concatenate([state.mp_visible, jnp.zeros(1, jnp.int32)]).at[slot].set(1)[:M]
+    mp_found = jnp.concatenate([state.mp_found, jnp.zeros(1, jnp.int32)]).at[slot].set(1)[:M]
+
+    new_id = jnp.where(cap_ok, slot, -1)
+    kf_mp = state.kf_mp.at[kf1].set(jnp.where(cap_ok, new_id, state.kf_mp[kf1]))
+    # Associate in kf2 at the matched slots.
+    kf2_row = state.kf_mp[kf2]
+    kf2_row = kf2_row.at[jnp.where(cap_ok, m.idx, N)].set(
+        jnp.where(cap_ok, new_id, -1), mode="drop"
+    )
+    kf_mp = kf_mp.at[kf2].set(kf2_row)
+
+    n_new = jnp.sum(cap_ok.astype(jnp.int32))
+    return state._replace(
+        mp_pos=mp_pos,
+        mp_valid=mp_valid,
+        mp_desc=mp_desc,
+        mp_first_kf=mp_first,
+        mp_visible=mp_vis,
+        mp_found=mp_found,
+        kf_mp=kf_mp,
+        n_mp=state.n_mp + n_new,
+    )
+
+
+DEPTH_PT_CAP = 512
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def create_depth_points(state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax.Array,
+                        depth_limit: jax.Array):
+    """Stereo/RGB-D keyframe densification: unmatched keypoints with valid
+    depth become map points, closest first (Tracking::CreateNewKeyFrame,
+    src/Tracking.cc:1206-1286 — creates all points closer than mThDepth and
+    at least the 100 closest)."""
+    N = state.kf_xy.shape[1]
+    M = state.mp_pos.shape[0]
+    u = state.kf_xy[kf_id, :, 0]
+    v = state.kf_xy[kf_id, :, 1]
+    ur = state.kf_ur[kf_id]
+    disp = u - ur
+    z = jnp.where((ur >= 0) & (disp > 1e-6), bf / jnp.maximum(disp, 1e-6), -1.0)
+    cand = (
+        state.kf_kp_valid[kf_id]
+        & (state.kf_mp[kf_id] < 0)
+        & (z > 0)
+    )
+    # Rank by depth: all below depth_limit, else the 100 closest.
+    order_key = jnp.where(cand, z, jnp.inf)
+    rank = jnp.argsort(jnp.argsort(order_key))  # rank of each slot by depth
+    take = cand & ((z < depth_limit) | (rank < 100)) & (rank < DEPTH_PT_CAP)
+
+    # Unproject into world.
+    pose = state.kf_pose[kf_id]
+    Twc_R = pose[:3, :3].T
+    Twc_t = -Twc_R @ pose[:3, 3]
+    xc = (u - K[2]) * z / K[0]
+    yc = (v - K[3]) * z / K[1]
+    Xc = jnp.stack([xc, yc, z], -1)
+    Xw = Xc @ Twc_R.T + Twc_t
+
+    slot_rank = jnp.cumsum(take.astype(jnp.int32)) - 1
+    ok = take & ((state.n_mp + slot_rank) < M)
+    slot = jnp.where(ok, state.n_mp + slot_rank, M)
+    state = state._replace(
+        mp_pos=jnp.concatenate([state.mp_pos, jnp.zeros((1, 3))]).at[slot].set(Xw)[:M],
+        mp_valid=jnp.concatenate([state.mp_valid, jnp.zeros(1, bool)]).at[slot].set(True)[:M],
+        mp_desc=jnp.concatenate([state.mp_desc, jnp.zeros((1, 8), jnp.uint32)])
+        .at[slot]
+        .set(state.kf_desc[kf_id])[:M],
+        mp_first_kf=jnp.concatenate([state.mp_first_kf, jnp.zeros(1, jnp.int32)])
+        .at[slot]
+        .set(jnp.broadcast_to(kf_id, slot.shape))[:M],
+        mp_visible=jnp.concatenate([state.mp_visible, jnp.zeros(1, jnp.int32)]).at[slot].set(1)[:M],
+        mp_found=jnp.concatenate([state.mp_found, jnp.zeros(1, jnp.int32)]).at[slot].set(1)[:M],
+        kf_mp=state.kf_mp.at[kf_id].set(jnp.where(ok, slot, state.kf_mp[kf_id])),
+        n_mp=state.n_mp + jnp.sum(ok.astype(jnp.int32)),
+    )
+    return state
+
+
+def _fuse_pair(state: MapState, src_kf, dst_kf, pair_ok, K, bf):
+    """Project src_kf's map points into dst_kf; associate to free keypoints
+    or merge with conflicting points (ORBmatcher::Fuse,
+    src/ORBmatcher.cc:827-977)."""
+    from ..ops.projection import project
+
+    N = state.kf_xy.shape[1]
+    M = state.mp_pos.shape[0]
+
+    q_mp = state.kf_mp[src_kf]  # (N,) candidate points to push into dst
+    q_ok = (q_mp >= 0) & state.kf_kp_valid[src_kf] & pair_ok
+    q_ok = q_ok & state.mp_valid[jnp.maximum(q_mp, 0)]
+    # Skip points already observed by dst.
+    dst_has = jnp.zeros(M + 1, bool).at[
+        jnp.where(state.kf_mp[dst_kf] >= 0, state.kf_mp[dst_kf], M)
+    ].set(True)
+    q_ok = q_ok & ~dst_has[jnp.maximum(q_mp, 0)]
+
+    pose = state.kf_pose[dst_kf]
+    pw = state.mp_pos[jnp.maximum(q_mp, 0)]
+    uv = project(pose, pw, K)
+    z = (pose[2, :3] @ pw.T) + pose[2, 3]
+    cam_center = -pose[:3, :3].T @ pose[:3, 3]
+    po = pw - cam_center
+    dist = jnp.linalg.norm(po, axis=-1)
+    view_cos = jnp.sum(po * state.mp_normal[jnp.maximum(q_mp, 0)], axis=-1) / jnp.maximum(dist, 1e-9)
+    in_band = (dist >= state.mp_min_dist[jnp.maximum(q_mp, 0)]) & (
+        dist <= state.mp_max_dist[jnp.maximum(q_mp, 0)]
+    )
+    q_ok = q_ok & (z > 0) & in_band & (view_cos > 0.5)
+
+    ratio = state.mp_max_dist[jnp.maximum(q_mp, 0)] / jnp.maximum(dist, 1e-9)
+    pred_level = jnp.clip(
+        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(SCALE)).astype(jnp.int32),
+        0, N_LEVELS - 1,
+    )
+    radius = 3.0 * SCALE ** pred_level.astype(jnp.float32)
+
+    q_pm1 = hamming.unpack_pm1(state.mp_desc[jnp.maximum(q_mp, 0)])
+    m = matching.match_projection(
+        q_desc=q_pm1,
+        q_xy_pred=uv,
+        q_level_pred=pred_level,
+        q_valid=q_ok,
+        t_desc=hamming.unpack_pm1(state.kf_desc[dst_kf]),
+        t_xy=state.kf_xy[dst_kf],
+        t_level=state.kf_level[dst_kf],
+        t_valid=state.kf_kp_valid[dst_kf],
+        radius=radius,
+        max_dist=matching.TH_LOW,
+        nn_ratio=1.0,
+    )
+    ok = m.ok
+
+    dst_row = state.kf_mp[dst_kf]
+    existing = dst_row[m.idx]  # (N,) point already on the matched keypoint, or -1
+    src_pt = jnp.where(ok, q_mp, -1)
+
+    # Case 1: keypoint free -> add observation.
+    add_case = ok & (existing < 0)
+    new_row = dst_row.at[jnp.where(add_case, m.idx, N)].set(
+        jnp.where(add_case, src_pt, -1), mode="drop"
+    )
+    kf_mp = state.kf_mp.at[dst_kf].set(new_row)
+
+    # Case 2: keypoint already has a different point -> merge: the point with
+    # fewer observations is replaced by the other (MapPoint::Replace,
+    # src/MapPoint.cc:187-232).
+    merge_case = ok & (existing >= 0) & (existing != src_pt)
+    obs = mp_observation_count(state)
+    keep_src = obs[jnp.maximum(src_pt, 0)] >= obs[jnp.maximum(existing, 0)]
+    winner = jnp.where(keep_src, src_pt, existing)
+    loser = jnp.where(keep_src, existing, src_pt)
+    rep = jnp.arange(M + 1, dtype=jnp.int32)
+    rep = rep.at[jnp.where(merge_case, loser, M)].set(
+        jnp.where(merge_case, winner, -1), mode="drop"
+    )[:M]
+    kf_mp = jnp.where(kf_mp >= 0, rep[jnp.maximum(kf_mp, 0)], kf_mp)
+    mp_valid = state.mp_valid & (rep == jnp.arange(M))
+
+    return state._replace(kf_mp=kf_mp, mp_valid=mp_valid)
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def fuse_map_points(state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax.Array):
+    """SearchInNeighbors (src/LocalMapping.cc:462-542): two-way Fuse between
+    the new keyframe and its best covisible neighbors."""
+    C = covisibility(state)
+    neigh_w, neigh_idx = jax.lax.top_k(C[kf_id], TRI_NEIGHBORS)
+
+    def step(state, args):
+        n_kf, w = args
+        ok = w > 0
+        state = _fuse_pair(state, kf_id, n_kf, ok, K, bf)  # new KF pts -> neighbor
+        state = _fuse_pair(state, n_kf, kf_id, ok, K, bf)  # neighbor pts -> new KF
+        return state, None
+
+    state, _ = jax.lax.scan(step, state, (neigh_idx, neigh_w))
+    return state
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def cull_map_points(state: MapState, current_kf: jax.Array):
+    """MapPointCulling (src/LocalMapping.cc:178-213): drop points with
+    found/visible < 0.25, or too few observations a grace period after
+    creation."""
+    obs = mp_observation_count(state)
+    found_ratio = state.mp_found.astype(jnp.float32) / jnp.maximum(
+        state.mp_visible.astype(jnp.float32), 1.0
+    )
+    age = current_kf - state.mp_first_kf
+    bad = (found_ratio < 0.25) | ((age >= 2) & (obs <= 2))
+    # Only recent points are subject to the obs test; mature points survive
+    # (reference stops testing after 3 KFs).
+    bad = bad & (age <= 3) & state.mp_valid
+    mp_valid = state.mp_valid & ~bad
+    # Detach dead points from keyframes.
+    kf_mp = jnp.where(
+        (state.kf_mp >= 0) & ~mp_valid[jnp.maximum(state.kf_mp, 0)], -1, state.kf_mp
+    )
+    return state._replace(mp_valid=mp_valid, kf_mp=kf_mp)
+
+
+class LocalBAIndex(NamedTuple):
+    cam_kf: jax.Array  # (C,) keyframe id per camera slot (-1 unused)
+    pt_mp: jax.Array  # (P,) map-point id per point slot (-1 unused)
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def local_bundle_adjustment(state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax.Array):
+    """Windowed local BA (Optimizer::LocalBundleAdjustment,
+    src/Optimizer.cc:453-780): free cameras = the KF + top covisible
+    neighbors; points = all their observations; fixed cameras = other
+    observers of those points."""
+    Kmax, N = state.kf_mp.shape
+    M = state.mp_pos.shape[0]
+
+    C = covisibility(state)
+    w = C[kf_id].at[kf_id].set(1 << 20)  # ensure self in window
+    w = jnp.where(state.kf_valid, w, -1)
+    free_w, free_idx = jax.lax.top_k(w, min(BA_CAMS, Kmax))
+    free_mask = jnp.zeros(Kmax, bool).at[free_idx].set(free_w > 0)
+
+    # Points seen from the window.
+    mp_in = jnp.where(
+        (state.kf_mp >= 0) & state.kf_kp_valid & free_mask[:, None], state.kf_mp, M
+    )
+    pt_mask = jnp.zeros(M + 1, bool).at[mp_in.reshape(-1)].set(True)[:M] & state.mp_valid
+    _, pt_sel = jax.lax.top_k(pt_mask.astype(jnp.int32), min(BA_PTS, M))
+    pt_sel_valid = pt_mask[pt_sel]
+    # Inverse map mp -> point slot.
+    inv_pt = jnp.full(M + 1, -1, jnp.int32).at[jnp.where(pt_sel_valid, pt_sel, M)].set(
+        jnp.arange(pt_sel.shape[0], dtype=jnp.int32)
+    )
+
+    # Fixed cameras: observe selected points but are not free.
+    sees_sel = jnp.any(
+        (state.kf_mp >= 0) & state.kf_kp_valid & (inv_pt[jnp.maximum(state.kf_mp, 0)] >= 0),
+        axis=1,
+    )
+    fixed_cand = sees_sel & ~free_mask & state.kf_valid
+    _, fixed_idx = jax.lax.top_k(fixed_cand.astype(jnp.int32), min(BA_FIXED, Kmax))
+    fixed_valid = fixed_cand[fixed_idx]
+
+    cam_kf = jnp.concatenate([free_idx, fixed_idx])  # (C,)
+    cam_used = jnp.concatenate([free_mask[free_idx], fixed_valid])
+    cam_fixed = jnp.concatenate(
+        [jnp.zeros_like(free_idx, dtype=bool), jnp.ones_like(fixed_idx, dtype=bool)]
+    )
+    # If the window is smaller than BA_CAMS the spare free slots must not
+    # move: mark unused cams fixed.
+    cam_fixed = cam_fixed | ~cam_used
+    # Gauge anchor: a young map can have NO boundary cameras (every KF is in
+    # the window), leaving the SE3 gauge free — measured to bend the whole
+    # map by tens of degrees over a run. Always fix the oldest camera in the
+    # window. (Mono scale gauge is handled separately: median-depth
+    # renormalization at init, and boundary KFs once the map matures.)
+    order_key = jnp.where(cam_used & ~cam_fixed, cam_kf, 1 << 20)
+    anchor = jnp.argsort(order_key)[:1]
+    cam_fixed = cam_fixed.at[anchor].set(True)
+    Ctot = cam_kf.shape[0]
+    inv_cam = (
+        jnp.full(Kmax + 1, -1, jnp.int32)
+        .at[jnp.where(cam_used, cam_kf, Kmax)]
+        .set(jnp.arange(Ctot, dtype=jnp.int32))[:Kmax]
+    )
+
+    # Observation list: every (kf-in-window, slot) whose mp is selected.
+    in_cam = inv_cam[jnp.arange(Kmax)] >= 0
+    flat_ok = (
+        in_cam[:, None]
+        & state.kf_kp_valid
+        & (state.kf_mp >= 0)
+        & (inv_pt[jnp.maximum(state.kf_mp, 0)] >= 0)
+    ).reshape(-1)
+    _, obs_sel = jax.lax.top_k(flat_ok.astype(jnp.int32), min(BA_OBS, Kmax * N))
+    obs_valid = flat_ok[obs_sel]
+    ok_kf = obs_sel // N
+    ok_slot = obs_sel % N
+
+    obs = ba.Obs(
+        cam_idx=inv_cam[ok_kf].clip(0),
+        pt_idx=inv_pt[jnp.maximum(state.kf_mp[ok_kf, ok_slot], 0)].clip(0),
+        target=jnp.concatenate(
+            [state.kf_xy[ok_kf, ok_slot], state.kf_ur[ok_kf, ok_slot, None]], -1
+        ),
+        inv_sigma2=INV_LEVEL_SIGMA2[
+            jnp.clip(state.kf_level[ok_kf, ok_slot], 0, N_LEVELS - 1)
+        ],
+        is_stereo=state.kf_ur[ok_kf, ok_slot] >= 0,
+        valid=obs_valid,
+    )
+    prob = ba.BAProblem(
+        poses=state.kf_pose[cam_kf],
+        points=state.mp_pos[pt_sel],
+        obs=obs,
+        cam_fixed=cam_fixed,
+        K=K,
+        bf=bf,
+    )
+    prob2, cost = ba.bundle_adjust(prob)
+
+    # Write back.
+    kf_pose = state.kf_pose.at[jnp.where(cam_used & ~cam_fixed, cam_kf, Kmax)].set(
+        prob2.poses, mode="drop"
+    )
+    mp_pos = state.mp_pos.at[jnp.where(pt_sel_valid, pt_sel, M)].set(
+        prob2.points, mode="drop"
+    )
+    # Outlier observations detached (reference erases outlier edges after BA,
+    # src/Optimizer.cc:711-737).
+    killed = obs_valid & ~prob2.obs.valid
+    kf_mp = state.kf_mp.reshape(-1).at[jnp.where(killed, obs_sel, Kmax * N)].set(
+        -1, mode="drop"
+    ).reshape(Kmax, N)
+    return state._replace(kf_pose=kf_pose, mp_pos=mp_pos, kf_mp=kf_mp), cost

@@ -90,12 +90,27 @@ def _residual_jac(Tcw, pw, target, K, bf):
 _residual_jac_batch = jax.vmap(_residual_jac, in_axes=(0, 0, 0, None, None))
 
 
-def _obs_weights(obs: Obs, chi2: jax.Array, robust: jax.Array) -> jax.Array:
-    """IRLS weight per observation: information x optional Huber."""
+def _huber_weights(obs: Obs, chi2: jax.Array, robust: jax.Array) -> jax.Array:
+    """Huber IRLS factor only (1 inside the kernel, delta/|e| outside)."""
     delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
     hw = jnp.where(chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
-    hw = jnp.where(robust, hw, 1.0)
-    return obs.inv_sigma2 * hw * obs.valid
+    return jnp.where(robust, hw, 1.0)
+
+
+def _obs_weights(obs: Obs, chi2: jax.Array, robust: jax.Array) -> jax.Array:
+    """IRLS weight per observation: information x optional Huber."""
+    return obs.inv_sigma2 * _huber_weights(obs, chi2, robust) * obs.valid
+
+
+def _cost(obs: Obs, chi2: jax.Array, robust, inlier: jax.Array) -> jax.Array:
+    """Robustified whitened cost Σ chi2·huber.
+
+    chi2 already contains inv_sigma2; multiplying by the FULL IRLS weight
+    would square the information term, making the LM accept test optimize a
+    DIFFERENT objective than the step direction — measured to create stable
+    wrong-pose fixed points when observations span octaves.
+    """
+    return jnp.sum(chi2 * _huber_weights(obs, chi2, robust) * obs.valid * inlier)
 
 
 def _chi2(r: jax.Array, obs: Obs) -> jax.Array:
@@ -129,8 +144,7 @@ def pose_optimization(
 
     Returns (Tcw, inlier_mask, num_inliers).
     """
-    P = points.shape[0]
-    del P
+    Tcw0 = lie.orthonormalize(Tcw0)  # see lie.project_so3 docstring
     rmask = _res_mask(obs)
 
     def eval_all(Tcw):
@@ -152,14 +166,14 @@ def pose_optimization(
             # Normal equations (6x6): H = J^T W J, g = J^T W r.
             H = jnp.einsum("oia,oib,o->ab", Jc, Jc, w)
             g = jnp.einsum("oia,oi,o->a", Jc, r, w)
-            cost0 = jnp.sum(chi2 * w)
+            cost0 = _cost(obs, chi2, robust, inlier)
 
             def try_step(lam):
                 Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6)
                 dx = -jnp.linalg.solve(Hd, g)
                 T_new = lie.se3_exp(dx) @ Tcw
                 r1, _, _ = eval_all(T_new)
-                cost1 = jnp.sum(_chi2(r1, obs) * w)
+                cost1 = _cost(obs, _chi2(r1, obs), robust, inlier)
                 return T_new, cost1
 
             T_new, cost1 = try_step(lam)
@@ -215,7 +229,7 @@ def _build_system(prob: BAProblem, robust: bool, inlier: jax.Array):
     # src/Optimizer.cc:497-504).
     free_cam = (~prob.cam_fixed)[obs.cam_idx].astype(r.dtype)
     Jc = Jc * free_cam[:, None, None]
-    cost = jnp.sum(chi2 * w)
+    cost = _cost(obs, chi2, robust, inlier)
     return r, Jc, Jp, w, cost, chi2, behind
 
 
@@ -325,6 +339,11 @@ def ba_step_count(prob: BAProblem, iters: int = 5, cg_iters: int = 24, robust: b
         return (prob, lam)
 
     prob, _ = jax.lax.fori_loop(0, iters, lm_iter, (prob, jnp.float32(1e-4)))
+    # Re-orthonormalize optimized poses; fixed cameras stay bit-identical.
+    ortho = lie.orthonormalize(prob.poses)
+    prob = prob._replace(
+        poses=jnp.where(prob.cam_fixed[:, None, None], prob.poses, ortho)
+    )
     _, _, _, _, cost, _, _ = _build_system(prob, robust, inlier0)
     return prob, cost
 

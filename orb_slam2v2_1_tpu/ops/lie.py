@@ -165,6 +165,23 @@ def se3_log(T: jax.Array) -> jax.Array:
     return jnp.concatenate([rho, phi], axis=-1)
 
 
+def project_so3(R: jax.Array) -> jax.Array:
+    """Project a near-rotation onto SO(3) (quaternion round trip).
+
+    f32 pose products lose ~1e-7 orthonormality per composition; through the
+    tracking velocity feedback (pose -> velocity -> prediction -> pose) the
+    deviation COMPOUNDS geometrically (measured x2.3/frame) until the
+    rotation block carries a real scale error. Re-projecting at trust
+    boundaries (velocity update, optimizer entry) keeps poses rigid.
+    """
+    return quat_to_rot(rot_to_quat(R))
+
+
+def orthonormalize(T: jax.Array) -> jax.Array:
+    """Re-orthonormalize the rotation block of an SE3 matrix (..., 4, 4)."""
+    return make_se3(project_so3(T[..., :3, :3]), T[..., :3, 3])
+
+
 def make_se3(R: jax.Array, t: jax.Array) -> jax.Array:
     """Assemble (..., 4, 4) from rotation (..., 3, 3) and translation (..., 3)."""
     batch = jnp.broadcast_shapes(R.shape[:-2], t.shape[:-1])

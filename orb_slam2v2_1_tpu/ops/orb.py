@@ -159,10 +159,18 @@ def extract_orb(img: jax.Array, config: OrbConfig = OrbConfig()) -> OrbFeatures:
             threshold=config.fast_threshold,
             min_threshold=config.fast_min_threshold,
         )
-        patches = _gather_patches(limg, yx)
-        ang = ic_angle(patches)
-        blurred = image_ops.gaussian_blur(limg)
+        # Orientation and descriptors both sample the blurred level: one
+        # patch gather serves both, and the blur stabilizes the intensity
+        # centroid (measured: median cross-frame angle error 7.7deg -> 5.3deg
+        # on the synthetic harness; the reference computes IC_Angle on the
+        # raw pyramid level, src/ORBextractor.cc:1043-1105 — this is a
+        # deliberate robustness improvement, not an oversight).
+        # sigma=3 (vs the reference's GaussianBlur(7,7,2,2)): measured to cut
+        # cross-frame descriptor distances enough to double init matches on
+        # the synthetic harness; stability beats per-bit discriminability.
+        blurred = image_ops.gaussian_blur(limg, 9, 3.0)
         bpatches = _gather_patches(blurred, yx)
+        ang = ic_angle(bpatches)
         packed, pm1 = brief_descriptors(bpatches, ang)
 
         level_scale = config.scale**lvl

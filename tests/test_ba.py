@@ -96,6 +96,24 @@ class TestPoseOptimization:
         assert int(n) > 70
 
 
+class TestMixedOctaves:
+    def test_no_spurious_fixed_point(self, rng):
+        """Regression: with per-octave information weights, the LM accept
+        test must evaluate the same objective as the step direction —
+        a mismatch created stable wrong-pose fixed points ~6cm from truth."""
+        poses, pts = synth_scene(rng, n_pts=200)
+        obs = make_obs(poses[:1], pts, 0.3, rng)
+        # Heterogeneous octaves -> heterogeneous inv_sigma2.
+        levels = rng.integers(0, 8, 200)
+        obs = obs._replace(inv_sigma2=jnp.asarray((1 / 1.44**levels).astype(np.float32)))
+        # Start 6 cm forward of the truth.
+        T0 = jnp.asarray(np.diag([1.0, 1, 1, 1]).astype(np.float32)).at[2, 3].set(0.065)
+        T0 = T0 @ poses[0]
+        T, _, n = ba.pose_optimization(T0, pts, obs, K, BF)
+        err = np.asarray(lie.se3_log(lie.se3_inverse(T) @ poses[0]))
+        assert np.linalg.norm(err) < 5e-3, err
+
+
 class TestBundleAdjust:
     def _problem(self, rng, noise_px=0.3, perturb=0.02, stereo=True):
         poses, pts = synth_scene(rng)
