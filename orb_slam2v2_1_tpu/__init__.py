@@ -16,3 +16,12 @@ Architecture stance (vs. the reference's pointer-graph + mutex C++ design):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry estimation is precision-critical: TPU MXU default-precision f32
+# matmuls cost ~1e-2 relative error, enough to lose tracking (measured:
+# 25/40 vs 40/40 frames on the same sequence). Descriptor Hamming matmuls
+# are exact integers at any precision, so the only cost is a slightly slower
+# MXU path on ops that are microseconds anyway.
+_jax.config.update("jax_default_matmul_precision", "highest")

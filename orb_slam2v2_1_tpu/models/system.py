@@ -74,6 +74,10 @@ class SlamSystem:
         )
         self._min_frames = 0
         self._max_frames = int(c.fps)
+        self._zero_depth = jnp.zeros((c.height, c.width), jnp.float32)
+        self._depth_limit = c.bf * c.th_depth / c.fx if c.bf > 0 else 0.0
+        self._velocity_dev = jnp.eye(4)
+        self._have_velocity = False
 
     # ------------------------------------------------------------------
     # Frame construction
@@ -122,82 +126,103 @@ class SlamSystem:
     # Public per-frame entry points (System::TrackMonocular/TrackRGBD)
     # ------------------------------------------------------------------
     def track_monocular(self, img, timestamp: float):
-        frame = self._make_frame(img)
-        return self._track(frame, timestamp)
+        return self._step(img, None, timestamp)
 
     def track_rgbd(self, img, depth, timestamp: float):
-        frame = self._make_frame(img, depth=depth)
-        return self._track(frame, timestamp)
+        return self._step(img, depth, timestamp)
 
-    # ------------------------------------------------------------------
-    def _track(self, frame: tracking.FrameData, timestamp: float):
+    def _step(self, img, depth, timestamp: float):
+        """Fused per-frame path: one device dispatch + one 8-float stats pull
+        per tracked frame (see frontend.py)."""
+        from . import frontend
+
+        c = self.config
+        has_depth = depth is not None
+        img_j = jnp.asarray(img, jnp.float32)
+        depth_j = (
+            jnp.asarray(depth, jnp.float32) if has_depth else self._zero_depth
+        )
+
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            frame = frontend.build_frame_only(
+                img_j, depth_j, self._K, self._dist, self._bf,
+                jnp.int32(self.frame_id), self._orb_cfg, has_depth, c.width, c.height,
+            )
             self.state = TrackState.NOT_INITIALIZED
             ok = self._initialize(frame)
             self.frame_id += 1
             if not ok:
                 return None
             self.state = TrackState.OK
-            # _initialize stored the (BA-refined) pose on last_frame.
+            self._velocity_dev = jnp.eye(4)
+            self._have_velocity = False
             self._record(timestamp, self.last_frame.pose)
             return np.asarray(self.last_frame.pose)
 
-        # --- normal tracking ---
-        ok = False
-        if self.state == TrackState.OK and self.velocity is not None:
-            T_pred = jnp.asarray(self.velocity) @ self.last_frame.pose
-            Tcw, cur_mp, stats = tracking.track_motion_model(
-                self.map, frame, self.last_frame, T_pred, self._K, self._bf,
-                jnp.float32(15.0 if self.sensor == Sensor.MONOCULAR else 7.0),
-            )
-            ok = int(stats.n_inliers) >= 10
-            if not ok:
-                # Wider window retry (src/Tracking.cc:1047-1052 doubles th).
-                Tcw, cur_mp, stats = tracking.track_motion_model(
-                    self.map, frame, self.last_frame, T_pred, self._K, self._bf,
-                    jnp.float32(30.0 if self.sensor == Sensor.MONOCULAR else 14.0),
-                )
-                ok = int(stats.n_inliers) >= 10
-        if not ok:
-            # Reference-KF fallback (TrackReferenceKeyFrame).
-            T_init = self.last_frame.pose if self.last_frame is not None else jnp.eye(4)
-            Tcw, cur_mp, stats = tracking.track_reference_keyframe(
-                self.map, frame, jnp.int32(self.ref_kf), T_init, self._K, self._bf
-            )
-            ok = int(stats.n_inliers) >= 10
+        res = frontend.process_frame(
+            self.map, img_j, depth_j, self.last_frame,
+            self._velocity_dev, jnp.asarray(self._have_velocity),
+            jnp.int32(self.ref_kf), self._K, self._dist, self._bf,
+            jnp.float32(self._depth_limit), jnp.int32(self.frame_id),
+            self._orb_cfg, has_depth, c.width, c.height,
+            self.sensor == Sensor.MONOCULAR,
+        )
+        stats = np.asarray(res.stats)  # the single per-frame sync point
+        self.map = res.state
+        tracked_ok = stats[0] > 0
+        n_inliers = int(stats[1])
 
-        if ok:
-            frame = frame._replace(pose=Tcw, mp=cur_mp)
-            self.map, Tcw, cur_mp, stats = tracking.track_local_map(
-                self.map, frame, Tcw, self._K, self._bf, jnp.float32(0.5), self._img_wh
-            )
-            n_inliers = int(stats.n_inliers)
-            ok = n_inliers >= 30
-            frame = frame._replace(pose=Tcw, mp=cur_mp)
-
-        if not ok:
+        if not tracked_ok:
             self.state = TrackState.LOST
+            self._have_velocity = False
             self.frame_id += 1
-            self._record(timestamp, self.last_frame.pose, lost=True)
+            self.trajectory.append_rel(
+                timestamp, self.ref_kf, np.eye(4), lost=True
+            )
             return None
 
         self.state = TrackState.OK
-        # Velocity model update (src/Tracking.cc:571-579). Orthonormalized:
-        # f32 pose-product scale error otherwise compounds geometrically
-        # through the prediction feedback (see lie.project_so3).
-        if self.last_frame is not None:
-            self.velocity = np.asarray(
-                lie.orthonormalize(frame.pose @ lie.se3_inverse(self.last_frame.pose))
-            )
+        self._velocity_dev = res.velocity
+        self._have_velocity = True
+        self.trajectory.append_rel(timestamp, self.ref_kf, res.T_rel)
+        self.last_frame = res.frame
 
-        # Keyframe policy + insertion (NeedNewKeyFrame/CreateNewKeyFrame).
-        if self._need_new_keyframe(frame, n_inliers):
-            self._insert_keyframe(frame)
-
-        self.last_frame = frame
+        if self._need_new_keyframe_stats(stats):
+            self._insert_keyframe_fused(res.frame)
         self.frame_id += 1
-        self._record(timestamp, frame.pose)
-        return np.asarray(frame.pose)
+        return np.asarray(res.pose)
+
+    def _need_new_keyframe_stats(self, stats) -> bool:
+        """NeedNewKeyFrame on the fused stats vector (same thresholds as
+        src/Tracking.cc:1120-1204)."""
+        if self.n_kf_host >= self.config.max_keyframes - 2:
+            return False
+        n_inliers = stats[1]
+        ref_matches = stats[3]
+        frames_since = self.frame_id - self.last_kf_frame
+        ref_ratio = 0.9 if self.sensor == Sensor.MONOCULAR else 0.75
+        c1a = frames_since >= self._max_frames
+        c1b = frames_since >= max(self._min_frames, 1)
+        c2 = (n_inliers < ref_matches * ref_ratio) and n_inliers > 15
+        need_close = (
+            self.sensor != Sensor.MONOCULAR
+            and self.config.bf > 0
+            and stats[4] < 100
+            and stats[5] > 70
+        )
+        return (c1b and (c2 or need_close)) or c1a
+
+    def _insert_keyframe_fused(self, frame):
+        from . import frontend
+
+        self.map, kf_id, _ = frontend.insert_keyframe_fused(
+            self.map, frame, self._K, self._bf,
+            jnp.float32(self._depth_limit if self.sensor != Sensor.MONOCULAR else 0.0),
+            jax.random.key(self.frame_id),
+        )
+        self.ref_kf = int(kf_id)
+        self.n_kf_host += 1
+        self.last_kf_frame = self.frame_id
 
     # ------------------------------------------------------------------
     def _initialize(self, frame: tracking.FrameData) -> bool:
@@ -254,78 +279,6 @@ class SlamSystem:
         self.last_frame = frame
         self.init_ref = None
         return True
-
-    # ------------------------------------------------------------------
-    def _need_new_keyframe(self, frame: tracking.FrameData, n_inliers: int) -> bool:
-        """NeedNewKeyFrame (src/Tracking.cc:1120-1204), synchronous variant:
-        local mapping is always 'idle'."""
-        if self.n_kf_host >= self.config.max_keyframes - 2:
-            return False
-        frames_since = self.frame_id - self.last_kf_frame
-        # Reference match count vs current (thRefRatio=0.9 mono, 0.75 rgbd);
-        # nRefMatches counts ref-KF points with >=minObs observations
-        # (KeyFrame::TrackedMapPoints, src/Tracking.cc:1147-1152).
-        from .map_state import mp_observation_count
-
-        min_obs = 3 if self.n_kf_host > 2 else 2
-        obs = mp_observation_count(self.map)
-        ref_mp = self.map.kf_mp[self.ref_kf]
-        ref_matches = int(
-            (
-                (ref_mp >= 0)
-                & self.map.kf_kp_valid[self.ref_kf]
-                & (obs[np.maximum(np.asarray(ref_mp), 0)] >= min_obs)
-            ).sum()
-        )
-        ref_ratio = 0.9 if self.sensor == Sensor.MONOCULAR else 0.75
-        c1a = frames_since >= self._max_frames
-        c1b = frames_since >= max(self._min_frames, 1)
-        c2 = (n_inliers < ref_matches * ref_ratio) and n_inliers > 15
-        # RGB-D/stereo close-point trigger (src/Tracking.cc:1158-1176):
-        # insert when tracked close points run low but fresh close depth is
-        # available — the mechanism that keeps depth maps dense.
-        need_close = False
-        if self.sensor != Sensor.MONOCULAR and self.config.bf > 0:
-            depth_limit = self.config.bf * self.config.th_depth / self.config.fx
-            d = np.asarray(frame.depth)
-            kp_ok = np.asarray(frame.kp_valid)
-            has_mp = np.asarray(frame.mp) >= 0
-            close = kp_ok & (d > 0) & (d < depth_limit)
-            tracked_close = int((close & has_mp).sum())
-            untracked_close = int((close & ~has_mp).sum())
-            need_close = tracked_close < 100 and untracked_close > 70
-        return (c1b and (c2 or need_close)) or c1a
-
-    def _insert_keyframe(self, frame: tracking.FrameData):
-        from .map_state import append_keyframe
-
-        self.map, kf_id = append_keyframe(
-            self.map, frame.pose, frame.frame_id, frame.xy, frame.level,
-            frame.angle, frame.desc, frame.kp_valid, frame.ur, frame.mp,
-        )
-        kid = int(kf_id)
-        self.ref_kf = kid
-        self.n_kf_host += 1
-        self.last_kf_frame = self.frame_id
-        # Stereo/RGB-D: densify from depth before triangulation
-        # (CreateNewKeyFrame, src/Tracking.cc:1206-1286).
-        if self.sensor != Sensor.MONOCULAR and self.config.bf > 0:
-            depth_limit = self.config.bf * self.config.th_depth / self.config.fx
-            self.map = local_mapping.create_depth_points(
-                self.map, jnp.int32(kid), self._K, self._bf, jnp.float32(depth_limit)
-            )
-        # Synchronous local mapping (LocalMapping::Run body).
-        self.map = local_mapping.cull_map_points(self.map, jnp.int32(kid))
-        self.map = local_mapping.create_map_points(
-            self.map, jnp.int32(kid), self._K, self._bf, jax.random.key(kid)
-        )
-        self.map = local_mapping.fuse_map_points(
-            self.map, jnp.int32(kid), self._K, self._bf
-        )
-        self.map = update_mp_stats(self.map)
-        self.map, _ = local_mapping.local_bundle_adjustment(
-            self.map, jnp.int32(kid), self._K, self._bf
-        )
 
     # ------------------------------------------------------------------
     def _record(self, timestamp, Tcw, lost=False):

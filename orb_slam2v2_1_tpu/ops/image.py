@@ -52,13 +52,16 @@ def gaussian_blur(img: jax.Array, size: int = 7, sigma: float = 2.0) -> jax.Arra
     k = _gauss_kernel(size, sigma)
     pad = size // 2
     x = jnp.pad(img, ((pad, pad), (pad, pad)), mode="reflect")
-    # Horizontal then vertical 1-D convolutions.
+    # Horizontal then vertical 1-D convolutions. DEFAULT precision: image
+    # smoothing needs ~8 bits, and the package-wide HIGHEST default (set for
+    # geometry) makes these convs measurably slower on the MXU.
     x = jax.lax.conv_general_dilated(
         x[None, None, :, :],
         k[None, None, None, :],
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.DEFAULT,
     )
     x = jax.lax.conv_general_dilated(
         x,
@@ -66,6 +69,7 @@ def gaussian_blur(img: jax.Array, size: int = 7, sigma: float = 2.0) -> jax.Arra
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.DEFAULT,
     )
     return x[0, 0]
 

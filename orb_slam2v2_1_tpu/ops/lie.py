@@ -101,8 +101,10 @@ def so3_log(R: jax.Array) -> jax.Array:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)[..., None]  # (...,1)
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
+    # atan2(|w|, cos) instead of arccos(cos): arccos' blows up at the
+    # identity, poisoning autodiff of zero residuals (pose-graph edges).
+    theta = jnp.arctan2(_safe_norm(w), cos_t)[..., None]  # (...,1)
 
     # Generic branch: phi = theta/sin(theta) * w.
     generic = w / jnp.maximum(_sinc(theta), _EPS)

@@ -35,6 +35,12 @@ class Trajectory:
         T_rel = Tcw_frame @ np.linalg.inv(Tcw_ref)
         self.entries.append(TrajectoryEntry(timestamp, ref_kf, T_rel, lost))
 
+    def append_rel(self, timestamp: float, ref_kf: int, T_rel, lost=False):
+        """Record a device-computed relative pose (fused front-end path)."""
+        self.entries.append(
+            TrajectoryEntry(timestamp, ref_kf, np.asarray(T_rel, np.float64), lost)
+        )
+
     def absolute_poses(self, kf_poses: np.ndarray) -> list[tuple[float, np.ndarray]]:
         """Resolve to absolute Twc using the *current* (optimized) keyframe
         poses. Returns [(t, Twc)] skipping lost frames."""
