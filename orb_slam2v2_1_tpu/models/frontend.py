@@ -92,6 +92,68 @@ def process_frame(
     mono: bool,
 ) -> FrameResult:
     cur = _build_frame(img, depth, has_depth, K, dist, bf, config, frame_id, width, height)
+    return track_frame(
+        state, cur, last, velocity, have_velocity, ref_kf, K, bf, depth_limit,
+        width, height, mono,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "width", "height"),
+)
+def build_frame_stereo(
+    img_left: jax.Array,
+    img_right: jax.Array,
+    K: jax.Array,
+    dist: jax.Array,
+    bf: jax.Array,
+    frame_id: jax.Array,
+    config: orb.OrbConfig,
+    width: int,
+    height: int,
+) -> FrameData:
+    """Stereo frame: ORB on both images, rectified row matching + SAD
+    subpixel disparity (Frame stereo ctor, src/Frame.cc:61-117 with the
+    two-thread extraction replaced by two device programs)."""
+    from ..ops import stereo as stereo_ops
+
+    fl = orb.extract_orb(img_left, config)
+    fr = orb.extract_orb(img_right, config)
+    ur, depth, ok = stereo_ops.match_stereo(
+        fl.xy, fl.level, fl.desc_pm1, fl.valid,
+        fr.xy, fr.level, fr.desc_pm1, fr.valid,
+        bf, K[0], bf / K[0],
+    )
+    ur, depth = stereo_ops.sad_subpixel_refine(img_left, img_right, fl.xy, ur, ok, bf)
+    xy_u = undistort.undistort_points(fl.xy, K, dist)
+    n = fl.xy.shape[0]
+    return FrameData(
+        xy=xy_u, level=fl.level, angle=fl.angle, desc=fl.desc,
+        desc_pm1=fl.desc_pm1, kp_valid=fl.valid, ur=ur, depth=depth,
+        pose=jnp.eye(4), mp=jnp.full(n, -1, jnp.int32), frame_id=frame_id,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "mono"),
+    donate_argnames=("state",),
+)
+def track_frame(
+    state: MapState,
+    cur: FrameData,
+    last: FrameData,
+    velocity: jax.Array,
+    have_velocity: jax.Array,
+    ref_kf: jax.Array,
+    K: jax.Array,
+    bf: jax.Array,
+    depth_limit: jax.Array,
+    width: int,
+    height: int,
+    mono: bool,
+) -> FrameResult:
     img_wh = jnp.asarray([width, height], jnp.float32)
 
     # --- stage 1: motion model (with wide retry) or reference-KF fallback ---

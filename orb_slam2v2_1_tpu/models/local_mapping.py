@@ -377,6 +377,54 @@ def cull_map_points(state: MapState, current_kf: jax.Array):
     return state._replace(mp_valid=mp_valid, kf_mp=kf_mp)
 
 
+@partial(jax.jit, donate_argnames=("state",))
+def cull_keyframes(state: MapState, kf_id: jax.Array):
+    """KeyFrameCulling (src/LocalMapping.cc:640-704): a local keyframe is
+    redundant if >=90% of its map points are observed by >=3 other keyframes
+    at the same or finer scale. Checks the new KF's covisible neighbors; KF0
+    and the newest KF are never culled."""
+    Kn, N = state.kf_mp.shape
+    M = state.mp_pos.shape[0]
+
+    # obs count per (point, at-or-finer level): for each observation
+    # (k, slot) of point p at level l, it supports culling of an observation
+    # at level l' >= l... The reference counts observers with level <=
+    # level_in_candidate+1. We approximate with a per-point observer count at
+    # min level <= candidate level + 1 using two segment counts.
+    flat_mp = jnp.where(
+        state.kf_kp_valid & (state.kf_mp >= 0) & state.kf_valid[:, None],
+        state.kf_mp, M,
+    )
+    lvl = state.kf_level
+    # Per-point total observers and per-point min observation level.
+    counts = jnp.zeros(M + 1, jnp.int32).at[flat_mp.reshape(-1)].add(1)[:M]
+    min_lvl = jnp.full(M + 1, 99, jnp.int32).at[flat_mp.reshape(-1)].min(
+        lvl.reshape(-1)
+    )[:M]
+
+    C = covisibility(state)
+    cand_mask = (C[kf_id] > 0) & state.kf_valid
+    cand_mask = cand_mask.at[0].set(False).at[kf_id].set(False)
+
+    def redundant(k):
+        mp = state.kf_mp[k]
+        has = (mp >= 0) & state.kf_kp_valid[k]
+        mpc = jnp.maximum(mp, 0)
+        # Observed by >=3 others at same-or-finer scale (min_lvl <= level+1).
+        well_observed = (counts[mpc] >= 4) & (min_lvl[mpc] <= state.kf_level[k] + 1)
+        n_pts = jnp.maximum(jnp.sum(has.astype(jnp.int32)), 1)
+        n_red = jnp.sum((has & well_observed).astype(jnp.int32))
+        return n_red.astype(jnp.float32) > 0.9 * n_pts.astype(jnp.float32)
+
+    red = jax.vmap(redundant)(jnp.arange(Kn)) & cand_mask
+    # Cull at most one KF per call (the newest redundant) to keep the
+    # spanning chain healthy.
+    any_red = jnp.any(red)
+    victim = jnp.argmax(jnp.where(red, jnp.arange(Kn), -1))
+    kf_valid = jnp.where(any_red, state.kf_valid.at[victim].set(False), state.kf_valid)
+    return state._replace(kf_valid=kf_valid)
+
+
 class LocalBAIndex(NamedTuple):
     cam_kf: jax.Array  # (C,) keyframe id per camera slot (-1 unused)
     pt_mp: jax.Array  # (P,) map-point id per point slot (-1 unused)

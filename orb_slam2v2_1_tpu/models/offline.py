@@ -106,10 +106,16 @@ def run_sequence_rgbd(
             (res.state, res.frame),
         )
 
+        # After insertion, cull/fuse may have remapped point ids: re-read the
+        # frame's associations from its keyframe row.
+        frame_out = res.frame._replace(
+            mp=jnp.where(need_kf, state2.kf_mp[new_ref], res.frame.mp)
+        )
+
         new_carry = ScanCarry(
             state=state2,
             last=jax.tree.map(
-                lambda a, b: jnp.where(tracked, a, b), res.frame, carry.last
+                lambda a, b: jnp.where(tracked, a, b), frame_out, carry.last
             ),
             velocity=jnp.where(tracked, res.velocity, jnp.eye(4)),
             have_velocity=tracked,

@@ -78,6 +78,34 @@ class SlamSystem:
         self._depth_limit = c.bf * c.th_depth / c.fx if c.bf > 0 else 0.0
         self._velocity_dev = jnp.eye(4)
         self._have_velocity = False
+        self._init_recognition()
+
+    def _init_recognition(self):
+        """Vocabulary + keyframe database + loop closer (System ctor loads
+        the vocabulary and wires LoopClosing, src/System.cc:76-130)."""
+        import os
+
+        from ..ops import vocab as vocab_ops
+        from . import keyframe_database as kdb
+        from .loop_closing import LoopCloser
+
+        path = os.path.join(os.path.dirname(__file__), "..", "data", "vocab.npz")
+        if os.path.exists(path):
+            self.vocab = vocab_ops.load_vocabulary(np.load(path))
+            self.kf_db = kdb.empty_database(
+                self.config.max_keyframes, self.config.n_features, self.vocab.n_words
+            )
+            self.loop_closer = LoopCloser(
+                self.vocab, self.kf_db,
+                fix_scale=self.sensor != Sensor.MONOCULAR,
+                K=self._K, bf=self._bf,
+            )
+        else:  # pragma: no cover — vocabulary artifact missing
+            self.vocab = None
+            self.kf_db = None
+            self.loop_closer = None
+        self.n_loops_closed = 0
+        self.localization_only = False
 
     # ------------------------------------------------------------------
     # Frame construction
@@ -131,6 +159,20 @@ class SlamSystem:
     def track_rgbd(self, img, depth, timestamp: float):
         return self._step(img, depth, timestamp)
 
+    def track_stereo(self, img_left, img_right, timestamp: float):
+        """Stereo entry point (System::TrackStereo, src/System.cc:365-423):
+        builds the frame from the rectified pair, then shares the RGB-D
+        tracking path (ur/depth filled from disparity)."""
+        from . import frontend
+
+        c = self.config
+        frame = frontend.build_frame_stereo(
+            jnp.asarray(img_left, jnp.float32), jnp.asarray(img_right, jnp.float32),
+            self._K, self._dist, self._bf, jnp.int32(self.frame_id),
+            self._orb_cfg, c.width, c.height,
+        )
+        return self._step_built(frame, timestamp)
+
     def _step(self, img, depth, timestamp: float):
         """Fused per-frame path: one device dispatch + one 8-float stats pull
         per tracked frame (see frontend.py)."""
@@ -159,6 +201,15 @@ class SlamSystem:
             self._record(timestamp, self.last_frame.pose)
             return np.asarray(self.last_frame.pose)
 
+        if self.last_frame is None:
+            # Fresh map load: no prior frame; seed with an empty one so the
+            # fused program can run (it will fall through to relocalization).
+            self.last_frame = frontend.build_frame_only(
+                img_j, depth_j, self._K, self._dist, self._bf,
+                jnp.int32(self.frame_id), self._orb_cfg, has_depth,
+                c.width, c.height,
+            )
+
         res = frontend.process_frame(
             self.map, img_j, depth_j, self.last_frame,
             self._velocity_dev, jnp.asarray(self._have_velocity),
@@ -167,12 +218,59 @@ class SlamSystem:
             self._orb_cfg, has_depth, c.width, c.height,
             self.sensor == Sensor.MONOCULAR,
         )
+        return self._handle_result(res, timestamp)
+
+    def _step_built(self, frame, timestamp: float):
+        """Shared tracking for a pre-built frame (stereo path)."""
+        from . import frontend
+
+        c = self.config
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            self.state = TrackState.NOT_INITIALIZED
+            ok = self._initialize(frame)
+            self.frame_id += 1
+            if not ok:
+                return None
+            self.state = TrackState.OK
+            self._velocity_dev = jnp.eye(4)
+            self._have_velocity = False
+            self._record(timestamp, self.last_frame.pose)
+            return np.asarray(self.last_frame.pose)
+        if self.last_frame is None:
+            self.last_frame = frame
+        res = frontend.track_frame(
+            self.map, frame, self.last_frame,
+            self._velocity_dev, jnp.asarray(self._have_velocity),
+            jnp.int32(self.ref_kf), self._K, self._bf,
+            jnp.float32(self._depth_limit), c.width, c.height,
+            self.sensor == Sensor.MONOCULAR,
+        )
+        return self._handle_result(res, timestamp)
+
+    def _handle_result(self, res, timestamp: float):
         stats = np.asarray(res.stats)  # the single per-frame sync point
         self.map = res.state
         tracked_ok = stats[0] > 0
         n_inliers = int(stats[1])
 
         if not tracked_ok:
+            # Relocalization attempt (Tracking::Relocalization on LOST,
+            # src/Tracking.cc:429,1486).
+            if self.loop_closer is not None:
+                from . import relocalization
+
+                ok_r, Tcw_r, frame_mp, ref = relocalization.relocalize(
+                    self.map, self.loop_closer.db, self.vocab, res.frame,
+                    self._K, self._bf, self.frame_id,
+                )
+                if ok_r:
+                    self.state = TrackState.OK
+                    self.ref_kf = ref
+                    self.last_frame = res.frame._replace(pose=Tcw_r, mp=frame_mp)
+                    self._have_velocity = False
+                    self.frame_id += 1
+                    self._record(timestamp, Tcw_r)
+                    return np.asarray(Tcw_r)
             self.state = TrackState.LOST
             self._have_velocity = False
             self.frame_id += 1
@@ -187,10 +285,47 @@ class SlamSystem:
         self.trajectory.append_rel(timestamp, self.ref_kf, res.T_rel)
         self.last_frame = res.frame
 
-        if self._need_new_keyframe_stats(stats):
+        if not self.localization_only and self._need_new_keyframe_stats(stats):
             self._insert_keyframe_fused(res.frame)
+            # Mapping (cull/fuse) may have merged or killed points: re-read
+            # this frame's associations from its own keyframe row (the
+            # reference's shared-pointer MapPoint::Replace semantics).
+            self.last_frame = res.frame._replace(mp=self.map.kf_mp[self.ref_kf])
+            # Loop pipeline (the LoopClosing thread body) after insertion.
+            if self.loop_closer is not None:
+                self.map, closed = self.loop_closer.on_keyframe(
+                    self.map, self.ref_kf, self.n_kf_host
+                )
+                if closed:
+                    self.n_loops_closed += 1
+                    # The map moved under us: invalidate the motion model.
+                    self._have_velocity = False
         self.frame_id += 1
         return np.asarray(res.pose)
+
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        """Tracking-only mode: no new keyframes or map mutation
+        (System::ActivateLocalizationMode, src/System.cc:539-547)."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def reset(self):
+        """Clear the map and restart (System::Reset -> Tracking::Reset,
+        src/Tracking.cc:1650-1698)."""
+        c = self.config
+        self.map = empty_map(c.max_keyframes, c.max_map_points, c.n_features)
+        self.state = TrackState.NO_IMAGES_YET
+        self.last_frame = None
+        self.init_ref = None
+        self.ref_kf = 0
+        self.n_kf_host = 0
+        self.last_kf_frame = -1
+        self._have_velocity = False
+        self.trajectory = Trajectory()
+        self._init_recognition()
 
     def _need_new_keyframe_stats(self, stats) -> bool:
         """NeedNewKeyFrame on the fused stats vector (same thresholds as
@@ -289,6 +424,35 @@ class SlamSystem:
             np.asarray(self.map.kf_pose[self.ref_kf]),
             lost=lost,
         )
+
+    def save_map(self, path):
+        """Persist the map (System::SaveMap analog, src/System.cc:807-848)."""
+        from ..utils import serialization
+
+        serialization.save_map(
+            self.map, path,
+            metadata={"ref_kf": self.ref_kf, "n_kf_host": self.n_kf_host,
+                      "frame_id": self.frame_id},
+        )
+
+    def load_map(self, path):
+        """Load a map and start in LOST state for relocalization-based reuse
+        (System::LoadMap, src/System.cc:849-994; Tracking starts LOST,
+        src/Tracking.cc:148-149)."""
+        from ..utils import serialization
+
+        self.map, meta = serialization.load_map(path)
+        self.ref_kf = int(meta.get("ref_kf", 0))
+        self.n_kf_host = int(meta.get("n_kf_host", int(self.map.n_kf)))
+        self.frame_id = int(meta.get("frame_id", 0))
+        self.state = TrackState.LOST
+        self._have_velocity = False
+        self.last_frame = None
+        if self.vocab is not None:
+            self.loop_closer.db = serialization.rebuild_database(
+                self.map, self.vocab, self.config.max_keyframes,
+                self.config.n_features,
+            )
 
     def save_trajectory_tum(self, path):
         self.trajectory.save_tum(path, np.asarray(self.map.kf_pose))

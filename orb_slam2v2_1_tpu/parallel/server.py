@@ -1,0 +1,304 @@
+"""Multi-session map server: delta streaming, per-client maps, map merge.
+
+TPU-native replacement for the reference's ROS client/server layer
+(SURVEY §2.3, L7): `SendClassToServer` (src/StreamThread.cc) becomes a
+client-side delta log; the `Communicator`/`ServerMap` node (src/ros_server.cc,
+src/ServerMap.cc) becomes `SlamServer` holding one array-state map per
+client; `CLIENT_MAP<cid>` broadcast + `System::ReceiveMapCallback`
+(src/System.cc:1003-1066) becomes `merged_map()` -> client `load_map`
+hot-swap. Transport is pluggable bytes (in-process queue, files, or sockets)
+— the wire format is a compressed npz per delta, replacing boost-serialized
+ROS messages.
+
+Commands mirror the reference: INSERT=0, ERASE=1, UPDATE=2
+(src/ros_server.cc:20-22).
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..models.map_state import MapState, empty_map
+
+INSERT, ERASE, UPDATE = 0, 1, 2
+
+
+# ---------------------------------------------------------------------------
+# Delta encoding (the KF.msg / MP.msg analog)
+# ---------------------------------------------------------------------------
+
+def encode_keyframe_delta(state: MapState, kf_id: int, command: int = INSERT) -> bytes:
+    """Marshal one keyframe + its observed points (RunKeyFrame,
+    src/StreamThread.cc:50-137: pose, descriptors, keypoints, covisibility
+    implied by observations)."""
+    buf = io.BytesIO()
+    mp_ids = np.asarray(state.kf_mp[kf_id])
+    observed = np.unique(mp_ids[mp_ids >= 0])
+    np.savez_compressed(
+        buf,
+        command=np.int32(command),
+        kf_id=np.int32(kf_id),
+        frame_id=np.asarray(state.kf_frame_id[kf_id]),
+        pose=np.asarray(state.kf_pose[kf_id]),
+        xy=np.asarray(state.kf_xy[kf_id]),
+        level=np.asarray(state.kf_level[kf_id]),
+        angle=np.asarray(state.kf_angle[kf_id]),
+        desc=np.asarray(state.kf_desc[kf_id]),
+        kp_valid=np.asarray(state.kf_kp_valid[kf_id]),
+        ur=np.asarray(state.kf_ur[kf_id]),
+        kf_mp=mp_ids,
+        mp_ids=observed,
+        mp_pos=np.asarray(state.mp_pos)[observed],
+        mp_desc=np.asarray(state.mp_desc)[observed],
+    )
+    return buf.getvalue()
+
+
+def encode_pose_update(state: MapState, kf_ids: np.ndarray) -> bytes:
+    """Marshal refined poses + point positions after BA / loop correction
+    (the UPDATE command path, src/StreamThread.cc:225-236)."""
+    buf = io.BytesIO()
+    valid = np.asarray(state.mp_valid)
+    np.savez_compressed(
+        buf,
+        command=np.int32(UPDATE),
+        kf_ids=np.asarray(kf_ids, np.int32),
+        poses=np.asarray(state.kf_pose)[kf_ids],
+        mp_ids=np.where(valid)[0].astype(np.int32),
+        mp_pos=np.asarray(state.mp_pos)[valid],
+    )
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Server
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ClientMap:
+    """Server-side mirror of one client's map (ServerMap analog)."""
+
+    max_kf: int
+    max_mp: int
+    n_kp: int
+    state: MapState = None
+    # client-local id -> server-map id (UID analog, src/MapPoint.cc:40-43)
+    mp_remap: dict = field(default_factory=dict)
+    n_deltas: int = 0
+
+    def __post_init__(self):
+        if self.state is None:
+            self.state = empty_map(self.max_kf, self.max_mp, self.n_kp)
+
+
+class SlamServer:
+    """Central map server (ros_server Communicator analog)."""
+
+    def __init__(self, max_kf: int = 256, max_mp: int = 32768, n_kp: int = 1024):
+        self.clients: dict[int, ClientMap] = {}
+        self.dims = (max_kf, max_mp, n_kp)
+
+    def _client(self, cid: int) -> ClientMap:
+        if cid not in self.clients:
+            self.clients[cid] = ClientMap(*self.dims)
+        return self.clients[cid]
+
+    def receive(self, cid: int, delta: bytes):
+        """Apply one delta to the client's server-side map
+        (Communicator::KeyFrameData/MapPointData, src/ros_server.cc:48-102)."""
+        data = np.load(io.BytesIO(delta))
+        cm = self._client(cid)
+        cmd = int(data["command"])
+        if cmd == INSERT:
+            self._apply_insert(cm, data)
+        elif cmd == UPDATE:
+            self._apply_update(cm, data)
+        elif cmd == ERASE:
+            kf = int(data["kf_id"])
+            cm.state = cm.state._replace(
+                kf_valid=cm.state.kf_valid.at[kf].set(False)
+            )
+        cm.n_deltas += 1
+
+    def _apply_insert(self, cm: ClientMap, data):
+        st = cm.state
+        kf = int(data["kf_id"])
+        # Points first (so kf_mp references resolve).
+        mp_ids = data["mp_ids"]
+        mp_pos = data["mp_pos"]
+        mp_desc = data["mp_desc"]
+        pos_buf = np.array(st.mp_pos)
+        val_buf = np.array(st.mp_valid)
+        desc_buf = np.array(st.mp_desc)
+        for i, mid in enumerate(mp_ids):
+            pos_buf[mid] = mp_pos[i]
+            val_buf[mid] = True
+            desc_buf[mid] = mp_desc[i]
+        st = st._replace(
+            mp_pos=jnp.asarray(pos_buf),
+            mp_valid=jnp.asarray(val_buf),
+            mp_desc=jnp.asarray(desc_buf),
+            kf_pose=st.kf_pose.at[kf].set(jnp.asarray(data["pose"])),
+            kf_valid=st.kf_valid.at[kf].set(True),
+            kf_frame_id=st.kf_frame_id.at[kf].set(int(data["frame_id"])),
+            kf_xy=st.kf_xy.at[kf].set(jnp.asarray(data["xy"])),
+            kf_level=st.kf_level.at[kf].set(jnp.asarray(data["level"])),
+            kf_angle=st.kf_angle.at[kf].set(jnp.asarray(data["angle"])),
+            kf_desc=st.kf_desc.at[kf].set(jnp.asarray(data["desc"])),
+            kf_kp_valid=st.kf_kp_valid.at[kf].set(jnp.asarray(data["kp_valid"])),
+            kf_ur=st.kf_ur.at[kf].set(jnp.asarray(data["ur"])),
+            kf_mp=st.kf_mp.at[kf].set(jnp.asarray(data["kf_mp"])),
+            n_kf=jnp.maximum(st.n_kf, kf + 1),
+            n_mp=jnp.maximum(st.n_mp, int(mp_ids.max()) + 1 if len(mp_ids) else st.n_mp),
+        )
+        cm.state = st
+
+    def _apply_update(self, cm: ClientMap, data):
+        st = cm.state
+        kf_ids = jnp.asarray(data["kf_ids"])
+        st = st._replace(
+            kf_pose=st.kf_pose.at[kf_ids].set(jnp.asarray(data["poses"])),
+            mp_pos=st.mp_pos.at[jnp.asarray(data["mp_ids"])].set(
+                jnp.asarray(data["mp_pos"])
+            ),
+        )
+        cm.state = st
+
+    # ------------------------------------------------------------------
+    def client_map(self, cid: int) -> MapState:
+        return self._client(cid).state
+
+    def merge_clients(self, cid_a: int, cid_b: int, K, key) -> Optional[MapState]:
+        """Merge client B's map into client A's frame: find a cross-session
+        keyframe match via descriptors, estimate the aligning transform with
+        the Sim3 solver, transform B, and concatenate — the analog of the
+        operator-triggered `SendMap` merge (src/ros_server.cc:119-168)."""
+        from ..ops import hamming, matching, sim3solver
+        from ..ops.lie import sim3_inverse
+
+        a = self._client(cid_a).state
+        b = self._client(cid_b).state
+        n_a = int(a.n_kf)
+        n_b = int(b.n_kf)
+        if n_a == 0 or n_b == 0:
+            return None
+
+        # Find the best cross-session KF pair by descriptor agreement.
+        best = None
+        for ka in range(n_a):
+            if not bool(a.kf_valid[ka]):
+                continue
+            for kb in range(n_b):
+                if not bool(b.kf_valid[kb]):
+                    continue
+                m = matching.match_nn(
+                    hamming.unpack_pm1(a.kf_desc[ka]),
+                    hamming.unpack_pm1(b.kf_desc[kb]),
+                    (a.kf_kp_valid[ka] & (a.kf_mp[ka] >= 0))[:, None]
+                    & (b.kf_kp_valid[kb] & (b.kf_mp[kb] >= 0))[None, :],
+                    max_dist=matching.TH_LOW,
+                    nn_ratio=0.75,
+                )
+                n = int(m.ok.sum())
+                if best is None or n > best[0]:
+                    best = (n, ka, kb, m)
+        if best is None or best[0] < 20:
+            return None
+        n, ka, kb, m = best
+
+        pose_a = a.kf_pose[ka]
+        pose_b = b.kf_pose[kb]
+        mp_a = jnp.maximum(a.kf_mp[ka], 0)
+        mp_b = jnp.maximum(b.kf_mp[kb][m.idx], 0)
+        p1 = (a.mp_pos[mp_a] @ pose_a[:3, :3].T) + pose_a[:3, 3]
+        p2 = (b.mp_pos[mp_b] @ pose_b[:3, :3].T) + pose_b[:3, 3]
+        res = sim3solver.sim3_ransac(
+            p1, p2, a.kf_xy[ka], b.kf_xy[kb][m.idx],
+            jnp.ones(p1.shape[0]), jnp.ones(p1.shape[0]), m.ok, K, key,
+            fix_scale=True,
+        )
+        if not bool(res.success):
+            return None
+        # World-to-world: T_wa<-wb = Twa_ka * S12 * Tb_kb.
+        import jax.numpy as _j
+
+        T_ab = sim3_inverse(pose_a) @ res.S12 @ pose_b
+
+        # Transform B into A's world and concatenate into a fresh state.
+        merged = self._concat(a, b, T_ab)
+        return merged
+
+    @staticmethod
+    def _concat(a: MapState, b: MapState, T_ab) -> MapState:
+        """Concatenate two maps (B transformed by T_ab into A's world)."""
+        from ..ops import lie
+
+        n_kf_a = int(a.n_kf)
+        n_kf_b = int(b.n_kf)
+        n_mp_a = int(a.n_mp)
+        n_mp_b = int(b.n_mp)
+        T_ba = np.asarray(lie.se3_inverse(jnp.asarray(T_ab)))
+
+        st = a
+        # Points of B -> A world.
+        pb = np.asarray(b.mp_pos[:n_mp_b]) @ np.asarray(T_ab)[:3, :3].T + np.asarray(T_ab)[:3, 3]
+        st = st._replace(
+            mp_pos=st.mp_pos.at[n_mp_a : n_mp_a + n_mp_b].set(jnp.asarray(pb)),
+            mp_valid=st.mp_valid.at[n_mp_a : n_mp_a + n_mp_b].set(
+                b.mp_valid[:n_mp_b]
+            ),
+            mp_desc=st.mp_desc.at[n_mp_a : n_mp_a + n_mp_b].set(b.mp_desc[:n_mp_b]),
+            n_mp=jnp.int32(n_mp_a + n_mp_b),
+        )
+        # Keyframes of B: pose_new = pose_b @ T_ba (world changes to A's).
+        poses_b = np.asarray(b.kf_pose[:n_kf_b]) @ T_ba[None]
+        remap = np.where(
+            np.asarray(b.kf_mp[:n_kf_b]) >= 0,
+            np.asarray(b.kf_mp[:n_kf_b]) + n_mp_a,
+            -1,
+        )
+        st = st._replace(
+            kf_pose=st.kf_pose.at[n_kf_a : n_kf_a + n_kf_b].set(jnp.asarray(poses_b)),
+            kf_valid=st.kf_valid.at[n_kf_a : n_kf_a + n_kf_b].set(b.kf_valid[:n_kf_b]),
+            kf_frame_id=st.kf_frame_id.at[n_kf_a : n_kf_a + n_kf_b].set(
+                b.kf_frame_id[:n_kf_b]
+            ),
+            kf_xy=st.kf_xy.at[n_kf_a : n_kf_a + n_kf_b].set(b.kf_xy[:n_kf_b]),
+            kf_level=st.kf_level.at[n_kf_a : n_kf_a + n_kf_b].set(b.kf_level[:n_kf_b]),
+            kf_angle=st.kf_angle.at[n_kf_a : n_kf_a + n_kf_b].set(b.kf_angle[:n_kf_b]),
+            kf_desc=st.kf_desc.at[n_kf_a : n_kf_a + n_kf_b].set(b.kf_desc[:n_kf_b]),
+            kf_kp_valid=st.kf_kp_valid.at[n_kf_a : n_kf_a + n_kf_b].set(
+                b.kf_kp_valid[:n_kf_b]
+            ),
+            kf_ur=st.kf_ur.at[n_kf_a : n_kf_a + n_kf_b].set(b.kf_ur[:n_kf_b]),
+            kf_mp=st.kf_mp.at[n_kf_a : n_kf_a + n_kf_b].set(jnp.asarray(remap)),
+            n_kf=jnp.int32(n_kf_a + n_kf_b),
+        )
+        return st
+
+
+class DeltaStream:
+    """Client-side delta log (SendClassToServer analog): collects keyframe
+    insertions + periodic pose updates for the server."""
+
+    def __init__(self, server: SlamServer, cid: int):
+        self.server = server
+        self.cid = cid
+        self._sent_kfs: set[int] = set()
+
+    def flush(self, state: MapState, n_kf: int):
+        """Push any new keyframes + a pose/point update (drained every 5 ms
+        in the reference, src/StreamThread.cc:195-243; here called after
+        keyframe insertion)."""
+        for k in range(n_kf):
+            if k not in self._sent_kfs and bool(state.kf_valid[k]):
+                self.server.receive(self.cid, encode_keyframe_delta(state, k, INSERT))
+                self._sent_kfs.add(k)
+        if self._sent_kfs:
+            ids = np.asarray(sorted(self._sent_kfs), np.int32)
+            self.server.receive(self.cid, encode_pose_update(state, ids))

@@ -66,6 +66,35 @@ class TestMonocularE2E:
         assert len(lines[0].split()) == 8  # t x y z qx qy qz qw
 
 
+class TestStereoE2E:
+    def test_tracks_and_maps(self, desk_seq):
+        frames, gt_poses = desk_seq
+        baseline = CFG_RGBD.bf / CFG_RGBD.fx  # 8 cm
+        rng = np.random.default_rng(7)
+        scene = synthetic.make_desk(rng)
+        K = jnp.asarray(CFG.K)
+        Tb = np.eye(4, dtype=np.float32)
+        Tb[0, 3] = -baseline
+        slam = SlamSystem(config=CFG_RGBD, sensor=Sensor.STEREO)
+        est = []
+        for i, Tcw in enumerate(gt_poses[:20]):
+            left, _ = synthetic.render(scene, jnp.asarray(Tcw), K, CFG.width, CFG.height)
+            right, _ = synthetic.render(
+                scene, jnp.asarray(Tb @ Tcw), K, CFG.width, CFG.height
+            )
+            est.append(slam.track_stereo(np.asarray(left), np.asarray(right), i * 0.1))
+        assert slam.state == TrackState.OK
+        n_tracked = sum(p is not None for p in est)
+        assert n_tracked >= 18
+
+        gt = {i * 0.1: np.linalg.inv(gt_poses[i]) for i in range(20)}
+        abs_poses = slam.trajectory.absolute_poses(np.asarray(slam.map.kf_pose))
+        err = ate_rmse(abs_poses, gt, max_dt=0.01, align_scale=False)
+        # Metric stereo accuracy (disparity-derived depth is noisier than
+        # the RGB-D oracle depth).
+        assert err < 0.02, f"ATE {err:.4f} m"
+
+
 class TestRgbdE2E:
     def test_tracks_and_maps(self, desk_seq):
         frames, gt_poses = desk_seq
