@@ -60,7 +60,21 @@ def nms3(score: jax.Array) -> jax.Array:
     return jnp.where(score >= m, score, 0.0)
 
 
-@partial(jax.jit, static_argnames=("n", "cell", "border", "threshold", "min_threshold"))
+def suppressed_score(img: jax.Array) -> jax.Array:
+    """`nms3(fast_score(img))`, fused into one Pallas kernel on TPU
+    (ops/pallas_kernels.py) — the values agree away from the discarded
+    extraction border."""
+    from . import pallas_kernels
+
+    if pallas_kernels.enabled():
+        return pallas_kernels.fast_score_nms(img)
+    return nms3(fast_score(img))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n", "cell", "border", "threshold", "min_threshold", "suppress"),
+)
 def select_keypoints(
     score: jax.Array,
     n: int,
@@ -68,6 +82,7 @@ def select_keypoints(
     border: int = 19,
     threshold: float = 20.0,
     min_threshold: float = 7.0,
+    suppress: bool = True,
 ):
     """Pick <= n spread-out corners: best corner per cell, strongest cells win.
 
@@ -79,7 +94,7 @@ def select_keypoints(
     The border mirrors EDGE_THRESHOLD=19 (src/ORBextractor.cc:1043-1082).
     """
     h, w = score.shape
-    s = nms3(score)
+    s = nms3(score) if suppress else score
     # Zero out the border and sub-minimum scores.
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]

@@ -133,6 +133,20 @@ def match_projection(
 ) -> Matches:
     """SearchByProjection analog (map points -> frame keypoints),
     reference src/ORBmatcher.cc:45-137 and :1330-1472."""
+    from . import pallas_kernels
+
+    if pallas_kernels.enabled():
+        # Fused Pallas path: distance + window mask + best-two reduction in
+        # one kernel — nothing (Q, N)-shaped touches HBM.
+        best_idx, best, second = pallas_kernels.masked_best_two(
+            q_desc, q_xy_pred, q_level_pred, q_valid, radius,
+            t_desc, t_xy, t_level, t_valid, level_lo, level_hi,
+        )
+        ok = (best <= max_dist) & (
+            best.astype(jnp.float32) <= nn_ratio * second.astype(jnp.float32)
+        )
+        return resolve_duplicates(best_idx, best, ok, t_desc.shape[0])
+
     mask = (
         window_mask(q_xy_pred, t_xy, radius)
         & level_mask(q_level_pred, t_level, level_lo, level_hi)

@@ -150,7 +150,7 @@ def extract_orb(img: jax.Array, config: OrbConfig = OrbConfig()) -> OrbFeatures:
     for lvl, (limg, n_l) in enumerate(zip(pyr, counts)):
         if n_l == 0:
             continue
-        score = fast_ops.fast_score(limg)
+        score = fast_ops.suppressed_score(limg)
         yx, resp, valid = fast_ops.select_keypoints(
             score,
             n_l,
@@ -158,6 +158,7 @@ def extract_orb(img: jax.Array, config: OrbConfig = OrbConfig()) -> OrbFeatures:
             border=config.border,
             threshold=config.fast_threshold,
             min_threshold=config.fast_min_threshold,
+            suppress=False,
         )
         # Orientation and descriptors both sample the blurred level: one
         # patch gather serves both, and the blur stabilizes the intensity
