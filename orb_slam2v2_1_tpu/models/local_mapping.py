@@ -430,12 +430,16 @@ class LocalBAIndex(NamedTuple):
     pt_mp: jax.Array  # (P,) map-point id per point slot (-1 unused)
 
 
-@partial(jax.jit, donate_argnames=("state",))
-def local_bundle_adjustment(state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax.Array):
+def local_bundle_adjustment_impl(state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax.Array):
     """Windowed local BA (Optimizer::LocalBundleAdjustment,
     src/Optimizer.cc:453-780): free cameras = the KF + top covisible
     neighbors; points = all their observations; fixed cameras = other
-    observers of those points."""
+    observers of those points.
+
+    Raw (untraced) body; use `local_bundle_adjustment` (donating jit) on the
+    linear synchronous path, or call this from a larger fused program (e.g.
+    frontend.mapping_pipeline, where the input snapshot is shared with the
+    tracking thread and must NOT be donated)."""
     Kmax, N = state.kf_mp.shape
     M = state.mp_pos.shape[0]
 
@@ -538,3 +542,8 @@ def local_bundle_adjustment(state: MapState, kf_id: jax.Array, K: jax.Array, bf:
         -1, mode="drop"
     ).reshape(Kmax, N)
     return state._replace(kf_pose=kf_pose, mp_pos=mp_pos, kf_mp=kf_mp), cost
+
+
+# Donating jit for the linear synchronous path (tracking thread owns the
+# state and never re-reads the input snapshot).
+local_bundle_adjustment = jax.jit(local_bundle_adjustment_impl, donate_argnames=("state",))

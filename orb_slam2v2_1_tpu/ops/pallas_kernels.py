@@ -152,7 +152,7 @@ def _match_kernel(
     best_ref, idx_ref, second_ref,
     *, bn: int, level_lo: int, level_hi: int,
 ):
-    i = pl.program_id(0)
+    i = pl.program_id(1)  # target-block index (inner, sequential per q-block)
 
     # t comes in pre-transposed (256, bn): Mosaic wants the standard
     # contraction form. This Mosaic build rejects bf16 operands with fp32
@@ -218,7 +218,9 @@ def masked_best_two(
     `best_two(distance_matrix(q, t), window_mask & level_mask & valid)`."""
     q, n = q_pm1.shape[0], t_pm1.shape[0]
     bn = 256
-    qp = _round_up(max(q, 16), 16)
+    bq = 512  # query tile: keeps the kernel's VMEM footprint ~3 MB
+    qp = _round_up(max(q, 16), 16 if q <= bq else bq)
+    bq = min(bq, qp)
     np_ = _round_up(max(n, bn), bn)
 
     def padq(x, fill=0.0):
@@ -233,18 +235,18 @@ def masked_best_two(
     q_pm1p = jnp.pad(q_pm1, ((0, qp - q), (0, 0)))
     t_pm1p = jnp.pad(t_pm1, ((0, np_ - n), (0, 0))).T  # (256, Np)
 
-    grid = (np_ // bn,)
-    qspec = pl.BlockSpec((qp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    tspec = pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((qp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    grid = (qp // bq, np_ // bn)
+    qspec = pl.BlockSpec((bq, 1), lambda qi, i: (qi, 0), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, bn), lambda qi, i: (0, i), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bq, 1), lambda qi, i: (qi, 0), memory_space=pltpu.VMEM)
 
     best, idx, second = pl.pallas_call(
         partial(_match_kernel, bn=bn, level_lo=level_lo, level_hi=level_hi),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((qp, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, 256), lambda qi, i: (qi, 0), memory_space=pltpu.VMEM),
             qspec, qspec, qspec, qspec, qspec,
-            pl.BlockSpec((256, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, bn), lambda qi, i: (0, i), memory_space=pltpu.VMEM),
             tspec, tspec, tspec, tspec,
         ],
         out_specs=(out_spec, out_spec, out_spec),
