@@ -67,12 +67,7 @@ def _build_frame(img, depth, has_depth: bool, K, dist, bf, config: orb.OrbConfig
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("config", "has_depth", "width", "height", "mono"),
-    donate_argnames=("state",),
-)
-def process_frame(
+def process_frame_impl(
     state: MapState,
     img: jax.Array,
     depth: jax.Array,  # dummy zeros if has_depth=False
@@ -92,10 +87,24 @@ def process_frame(
     mono: bool,
 ) -> FrameResult:
     cur = _build_frame(img, depth, has_depth, K, dist, bf, config, frame_id, width, height)
-    return track_frame(
+    return track_frame_impl(
         state, cur, last, velocity, have_velocity, ref_kf, K, bf, depth_limit,
         width, height, mono,
     )
+
+
+# Donating jit: the synchronous path owns `state` exclusively. The _shared
+# variant is for the async runtime, where the input is a published MapBox
+# snapshot also referenced by the mapping/loop workers and must survive.
+process_frame = partial(
+    jax.jit,
+    static_argnames=("config", "has_depth", "width", "height", "mono"),
+    donate_argnames=("state",),
+)(process_frame_impl)
+process_frame_shared = partial(
+    jax.jit,
+    static_argnames=("config", "has_depth", "width", "height", "mono"),
+)(process_frame_impl)
 
 
 @partial(
@@ -135,12 +144,7 @@ def build_frame_stereo(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "mono"),
-    donate_argnames=("state",),
-)
-def track_frame(
+def track_frame_impl(
     state: MapState,
     cur: FrameData,
     last: FrameData,
@@ -226,6 +230,16 @@ def track_frame(
     )
 
 
+track_frame = partial(
+    jax.jit,
+    static_argnames=("width", "height", "mono"),
+    donate_argnames=("state",),
+)(track_frame_impl)
+track_frame_shared = partial(
+    jax.jit, static_argnames=("width", "height", "mono")
+)(track_frame_impl)
+
+
 @partial(jax.jit, static_argnames=("config", "has_depth", "width", "height"))
 def build_frame_only(
     img, depth, K, dist, bf, frame_id, config: orb.OrbConfig,
@@ -247,7 +261,28 @@ def insert_keyframe_fused(
     """Full keyframe-insertion pipeline in one dispatch: append, depth
     densification, cull, triangulate, fuse, stats, local BA."""
     from . import local_mapping
-    from .map_state import append_keyframe, _update_mp_stats_jit
+    from .map_state import _update_mp_stats_jit
+
+    state, kf_id = _append_keyframe_body(state, frame, K, bf, depth_limit)
+    state = local_mapping.cull_map_points(state, kf_id)
+    state = local_mapping.create_map_points(state, kf_id, K, bf, key)
+    state = local_mapping.fuse_map_points(state, kf_id, K, bf)
+    state = _update_mp_stats_jit(state)
+    state, cost = local_mapping.local_bundle_adjustment_impl(state, kf_id, K, bf)
+    return state, kf_id, cost
+
+
+# ---------------------------------------------------------------------------
+# Split keyframe pipeline for the async runtime (runtime/pipeline.py):
+# tracking appends the keyframe (cheap, CreateNewKeyFrame analog,
+# src/Tracking.cc:1206-1286) and hands the heavy mapping work to the
+# LocalMapping worker (LocalMapping::Run body, src/LocalMapping.cc:47-120).
+# ---------------------------------------------------------------------------
+
+
+def _append_keyframe_body(state, frame, K, bf, depth_limit):
+    from . import local_mapping
+    from .map_state import append_keyframe
 
     state, kf_id = append_keyframe(
         state, frame.pose, frame.frame_id, frame.xy, frame.level, frame.angle,
@@ -259,9 +294,35 @@ def insert_keyframe_fused(
         lambda s: s,
         state,
     )
+    return state, kf_id
+
+
+@jax.jit
+def append_keyframe_only(
+    state: MapState, frame: FrameData, K: jax.Array, bf: jax.Array,
+    depth_limit: jax.Array,
+):
+    """Append + stereo/depth densification only (non-donating: `state` is a
+    shared MapBox snapshot)."""
+    return _append_keyframe_body(state, frame, K, bf, depth_limit)
+
+
+@partial(jax.jit, static_argnames=("allow_ba",))
+def mapping_pipeline(
+    state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax.Array,
+    key: jax.Array, allow_ba: bool = True,
+):
+    """Worker-side mapping round on an already-appended keyframe: cull,
+    triangulate, fuse, stats, and (unless interrupted) local BA. Non-donating.
+    `allow_ba=False` is the mbAbortBA path (src/LocalMapping.cc:126): a newer
+    keyframe is waiting, skip the expensive solve and catch up."""
+    from . import local_mapping
+    from .map_state import _update_mp_stats_jit
+
     state = local_mapping.cull_map_points(state, kf_id)
     state = local_mapping.create_map_points(state, kf_id, K, bf, key)
     state = local_mapping.fuse_map_points(state, kf_id, K, bf)
     state = _update_mp_stats_jit(state)
-    state, cost = local_mapping.local_bundle_adjustment(state, kf_id, K, bf)
-    return state, kf_id, cost
+    if allow_ba:
+        state, _ = local_mapping.local_bundle_adjustment_impl(state, kf_id, K, bf)
+    return state

@@ -44,6 +44,11 @@ class TrackState(enum.Enum):
 class SlamSystem:
     config: SlamConfig
     sensor: Sensor = Sensor.MONOCULAR
+    # Async pipeline: local mapping + loop closing run in native worker
+    # threads on published map snapshots (the reference's LocalMapping /
+    # LoopClosing std::threads, src/System.cc:124-143); tracking never waits
+    # for BA. False = synchronous (deterministic; same math).
+    async_mapping: bool = False
 
     state: TrackState = TrackState.NO_IMAGES_YET
     map: MapState = None
@@ -79,6 +84,11 @@ class SlamSystem:
         self._velocity_dev = jnp.eye(4)
         self._have_velocity = False
         self._init_recognition()
+        self._box = None
+        self._mapper = None
+        self._loops_seen = 0
+        if self.async_mapping:
+            self._start_async()
 
     def _init_recognition(self):
         """Vocabulary + keyframe database + loop closer (System ctor loads
@@ -106,6 +116,41 @@ class SlamSystem:
             self.loop_closer = None
         self.n_loops_closed = 0
         self.localization_only = False
+
+    def _start_async(self):
+        """Spawn the LocalMapping/LoopClosing workers (System ctor thread
+        spawns, src/System.cc:124-143)."""
+        from . import frontend
+        from ..runtime.pipeline import AsyncMapper, MapBox
+
+        self._box = MapBox(self.map)
+
+        def mapping_fn(state, kf_id, allow_ba):
+            return frontend.mapping_pipeline(
+                state, jnp.int32(kf_id), self._K, self._bf,
+                jax.random.key(kf_id), allow_ba,
+            )
+
+        loop_fn = None
+        if self.loop_closer is not None:
+            def loop_fn(state, kf_id):
+                return self.loop_closer.on_keyframe(state, int(kf_id), self.n_kf_host)
+
+        self._mapper = AsyncMapper(self._box, mapping_fn, loop_fn=loop_fn)
+
+    def _refresh_from_box(self):
+        if self._box is not None:
+            self.map, self._map_version = self._box.read()
+
+    def shutdown(self, drain: bool = True):
+        """Stop workers after draining their queues (System::Shutdown
+        barrier, src/System.cc:570-596) and adopt the final map."""
+        if self._mapper is not None:
+            self._mapper.shutdown(drain=drain)
+            self.map, _ = self._box.read()
+            self.n_loops_closed = self._mapper.n_loops
+            self._mapper = None
+            self._box = None
 
     # ------------------------------------------------------------------
     # Frame construction
@@ -210,7 +255,9 @@ class SlamSystem:
                 c.width, c.height,
             )
 
-        res = frontend.process_frame(
+        self._refresh_from_box()
+        fn = frontend.process_frame_shared if self.async_mapping else frontend.process_frame
+        res = fn(
             self.map, img_j, depth_j, self.last_frame,
             self._velocity_dev, jnp.asarray(self._have_velocity),
             jnp.int32(self.ref_kf), self._K, self._dist, self._bf,
@@ -238,7 +285,9 @@ class SlamSystem:
             return np.asarray(self.last_frame.pose)
         if self.last_frame is None:
             self.last_frame = frame
-        res = frontend.track_frame(
+        self._refresh_from_box()
+        fn = frontend.track_frame_shared if self.async_mapping else frontend.track_frame
+        res = fn(
             self.map, frame, self.last_frame,
             self._velocity_dev, jnp.asarray(self._have_velocity),
             jnp.int32(self.ref_kf), self._K, self._bf,
@@ -249,7 +298,19 @@ class SlamSystem:
 
     def _handle_result(self, res, timestamp: float):
         stats = np.asarray(res.stats)  # the single per-frame sync point
-        self.map = res.state
+        if self._box is not None:
+            # Advisory: visibility stats lose the race against structural
+            # (mapping/loop) updates; next frame re-reads the box.
+            self._box.publish(res.state, expected_version=self._map_version)
+            self.map, self._map_version = self._box.read()
+            if self._mapper.n_loops != self._loops_seen:
+                # A loop closed in the background: the map moved under the
+                # motion model (CorrectLoop's map-update mutex analog).
+                self._loops_seen = self.n_loops_closed = self._mapper.n_loops
+                self._have_velocity = False
+            self._mapper.raise_worker_errors()
+        else:
+            self.map = res.state
         tracked_ok = stats[0] > 0
         n_inliers = int(stats[1])
 
@@ -286,20 +347,24 @@ class SlamSystem:
         self.last_frame = res.frame
 
         if not self.localization_only and self._need_new_keyframe_stats(stats):
-            self._insert_keyframe_fused(res.frame)
-            # Mapping (cull/fuse) may have merged or killed points: re-read
-            # this frame's associations from its own keyframe row (the
-            # reference's shared-pointer MapPoint::Replace semantics).
-            self.last_frame = res.frame._replace(mp=self.map.kf_mp[self.ref_kf])
-            # Loop pipeline (the LoopClosing thread body) after insertion.
-            if self.loop_closer is not None:
-                self.map, closed = self.loop_closer.on_keyframe(
-                    self.map, self.ref_kf, self.n_kf_host
-                )
-                if closed:
-                    self.n_loops_closed += 1
-                    # The map moved under us: invalidate the motion model.
-                    self._have_velocity = False
+            if self.async_mapping:
+                self._insert_keyframe_async(res.frame)
+                self.last_frame = res.frame._replace(mp=self.map.kf_mp[self.ref_kf])
+            else:
+                self._insert_keyframe_fused(res.frame)
+                # Mapping (cull/fuse) may have merged or killed points: re-read
+                # this frame's associations from its own keyframe row (the
+                # reference's shared-pointer MapPoint::Replace semantics).
+                self.last_frame = res.frame._replace(mp=self.map.kf_mp[self.ref_kf])
+                # Loop pipeline (the LoopClosing thread body) after insertion.
+                if self.loop_closer is not None:
+                    self.map, closed = self.loop_closer.on_keyframe(
+                        self.map, self.ref_kf, self.n_kf_host
+                    )
+                    if closed:
+                        self.n_loops_closed += 1
+                        # The map moved under us: invalidate the motion model.
+                        self._have_velocity = False
         self.frame_id += 1
         return np.asarray(res.pose)
 
@@ -326,6 +391,13 @@ class SlamSystem:
         self._have_velocity = False
         self.trajectory = Trajectory()
         self._init_recognition()
+        if self._mapper is not None:
+            self._mapper.shutdown(drain=False)
+            self._mapper = None
+            self._box = None
+        self._loops_seen = 0
+        if self.async_mapping:
+            self._start_async()
 
     def _need_new_keyframe_stats(self, stats) -> bool:
         """NeedNewKeyFrame on the fused stats vector (same thresholds as
@@ -359,6 +431,31 @@ class SlamSystem:
         self.n_kf_host += 1
         self.last_kf_frame = self.frame_id
 
+    def _insert_keyframe_async(self, frame):
+        """Tracking-side keyframe creation: structural append, then hand the
+        heavy mapping round to the worker (CreateNewKeyFrame +
+        LocalMapping::InsertKeyFrame, src/Tracking.cc:1206-1286)."""
+        from . import frontend
+
+        depth_limit = jnp.float32(
+            self._depth_limit if self.sensor != Sensor.MONOCULAR else 0.0
+        )
+
+        kf_cell = [None]
+
+        def step(state):
+            state, kf_cell[0] = frontend.append_keyframe_only(
+                state, frame, self._K, self._bf, depth_limit
+            )
+            return state
+
+        self.map = self._box.mutate(step)
+        self._map_version = self._box.version
+        self.ref_kf = int(kf_cell[0])
+        self.n_kf_host += 1
+        self.last_kf_frame = self.frame_id
+        self._mapper.submit_keyframe(self.ref_kf)
+
     # ------------------------------------------------------------------
     def _initialize(self, frame: tracking.FrameData) -> bool:
         if self.sensor in (Sensor.RGBD, Sensor.STEREO):
@@ -373,6 +470,7 @@ class SlamSystem:
             self.last_kf_frame = self.frame_id
             frame = frame._replace(mp=self.map.kf_mp[int(kf0)])
             self.last_frame = frame
+            self._publish_fresh_map()
             return True
 
         # Monocular: need a reference frame with >100 keypoints.
@@ -413,7 +511,16 @@ class SlamSystem:
         self.last_kf_frame = self.frame_id
         self.last_frame = frame
         self.init_ref = None
+        self._publish_fresh_map()
         return True
+
+    def _publish_fresh_map(self):
+        """Replace the box content wholesale (initialization / map load /
+        reset build their map privately with donating programs; the box's
+        previous snapshot may hold donated-away buffers)."""
+        if self._box is not None:
+            self._box.publish(self.map)
+            self._map_version = self._box.version
 
     # ------------------------------------------------------------------
     def _record(self, timestamp, Tcw, lost=False):
@@ -429,6 +536,7 @@ class SlamSystem:
         """Persist the map (System::SaveMap analog, src/System.cc:807-848)."""
         from ..utils import serialization
 
+        self._refresh_from_box()
         serialization.save_map(
             self.map, path,
             metadata={"ref_kf": self.ref_kf, "n_kf_host": self.n_kf_host,
@@ -453,11 +561,14 @@ class SlamSystem:
                 self.map, self.vocab, self.config.max_keyframes,
                 self.config.n_features,
             )
+        self._publish_fresh_map()
 
     def save_trajectory_tum(self, path):
+        self._refresh_from_box()
         self.trajectory.save_tum(path, np.asarray(self.map.kf_pose))
 
     def save_trajectory_kitti(self, path):
+        self._refresh_from_box()
         self.trajectory.save_kitti(path, np.asarray(self.map.kf_pose))
 
 

@@ -28,6 +28,9 @@ def main(argv=None):
     p.add_argument("--ply", default=None, help="export sparse map PLY")
     p.add_argument("--frames", type=int, default=60)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--sync", action="store_true",
+                   help="synchronous mapping (default: threaded LocalMapping/"
+                        "LoopClosing workers, the reference's architecture)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -64,7 +67,7 @@ def main(argv=None):
             frames.append((np.asarray(img), np.asarray(depth)))
         gt = {i * 0.1: np.linalg.inv(poses[i]) for i in range(len(poses))}
 
-        slam = SlamSystem(config=cfg, sensor=sensor)
+        slam = SlamSystem(config=cfg, sensor=sensor, async_mapping=not args.sync)
         t0 = time.time()
         for i, (img, depth) in enumerate(frames):
             if sensor == Sensor.RGBD:
@@ -79,7 +82,7 @@ def main(argv=None):
 
         cfg = load_settings(args.settings) if args.settings else TUM_FR1
         pairs, gt = datasets.load_tum_rgbd(args.dataset)
-        slam = SlamSystem(config=cfg, sensor=sensor)
+        slam = SlamSystem(config=cfg, sensor=sensor, async_mapping=not args.sync)
         t0 = time.time()
         for i, fr in enumerate(pairs):
             img = datasets.read_image_gray(fr["rgb"])
@@ -93,6 +96,7 @@ def main(argv=None):
                       f"kf={slam.n_kf_host:3d} loops={slam.n_loops_closed}")
         wall = time.time() - t0
 
+    slam.shutdown()  # drain mapping/loop workers (no-op in --sync mode)
     slam.save_trajectory_tum(args.out)
     n = len(slam.trajectory.entries)
     print(f"\n{n} frames in {wall:.1f}s ({n/wall:.1f} fps) -> {args.out}")

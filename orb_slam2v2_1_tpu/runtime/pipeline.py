@@ -23,10 +23,24 @@ from .native import NativeFlag, NativeQueue, NativeWorker
 
 
 class MapBox:
-    """Versioned published snapshot of the map state."""
+    """Versioned published snapshot of the map state.
+
+    Two writer classes, mirroring the reference's mutex split
+    (Map::mMutexMap vs mMutexMapUpdate, include/Map.h):
+
+    * **structural** writers (keyframe append, mapping pipeline, loop
+      correction) serialize on `mutate()` — read-modify-publish under the
+      structural lock, so no structural update is ever lost;
+    * **advisory** writers (tracking's per-frame visibility statistics)
+      use `publish(expected_version=...)` and simply lose the race if a
+      structural update landed in between — the stats are monotone counters
+      whose occasional loss is harmless (the reference tolerates the same
+      via its unlocked Increase{Visible,Found} windows).
+    """
 
     def __init__(self, state):
         self._lock = threading.Lock()
+        self._struct_lock = threading.Lock()
         self._state = state
         self._version = 0
 
@@ -43,6 +57,19 @@ class MapBox:
             self._state = state
             self._version += 1
             return True
+
+    def mutate(self, fn):
+        """Serialized structural read-modify-publish: fn(state) -> new_state
+        (exactly the state — auxiliary results go through closures; the state
+        itself is often a NamedTuple, so no tuple-unpacking heuristics).
+        The structural lock is held across the device work — structural
+        writers are few (keyframe cadence, not frame cadence) and must not
+        clobber each other."""
+        with self._struct_lock:
+            state, _ = self.read()
+            new_state = fn(state)
+            self.publish(new_state)
+            return new_state
 
     @property
     def version(self):
@@ -83,25 +110,33 @@ class AsyncMapper:
     def _map_step(self, msg: bytes):
         (kf_id,) = struct.unpack("<i", msg)
         self.abort_ba.clear()
-        state, _ = self.box.read()
         # Skip BA when a newer keyframe is already waiting (interrupted-BA
         # semantics); the culling/triangulation/fusion stages always run.
         allow_ba = len(self.map_q) == 0 and not self.abort_ba
-        state = self._mapping_fn(state, kf_id, allow_ba)
+
+        def step(state):
+            return self._mapping_fn(state, kf_id, allow_ba)
+
+        self.box.mutate(step)
         if not allow_ba:
             self.n_ba_skipped += 1
-        self.box.publish(state)
         self.n_processed += 1
         if self.loop_q is not None:
             self.loop_q.push(msg)
 
     def _loop_step(self, msg: bytes):
         (kf_id,) = struct.unpack("<i", msg)
-        state, _ = self.box.read()
-        state, closed = self._loop_fn(state, kf_id)
-        if closed:
+        closed_cell = [False]
+
+        def step(state):
+            # Unchanged state republished on no-loop rounds: harmless (same
+            # arrays, just a version bump dropping pending advisory stats).
+            new_state, closed_cell[0] = self._loop_fn(state, kf_id)
+            return new_state
+
+        self.box.mutate(step)
+        if closed_cell[0]:
             self.n_loops += 1
-            self.box.publish(state)  # loop correction moved the whole map
 
     # -- shutdown (System::Shutdown barrier, src/System.cc:570-596) ----------
     def shutdown(self, drain: bool = True):

@@ -112,3 +112,41 @@ class TestRgbdE2E:
         err = ate_rmse(abs_poses, gt, max_dt=0.01, align_scale=False)
         # Metric (unaligned-scale) accuracy: <1 cm (measured ~1.0 mm).
         assert err < 0.01, f"ATE {err:.4f} m"
+
+
+class TestAsyncPipelineE2E:
+    """Threaded runtime (runtime/pipeline.py): mapping + loop closing in
+    native workers on map snapshots — the reference's LocalMapping/LoopClosing
+    std::threads (src/System.cc:124-143). Must match the synchronous path's
+    accuracy on the same sequence."""
+
+    def test_tracks_and_maps_async(self, desk_seq):
+        frames, gt_poses = desk_seq
+        slam = SlamSystem(config=CFG_RGBD, sensor=Sensor.RGBD, async_mapping=True)
+        est = [
+            slam.track_rgbd(img, depth, timestamp=i * 0.1)
+            for i, (img, depth) in enumerate(frames)
+        ]
+        slam.shutdown()  # drain workers, adopt final map
+        assert slam.state == TrackState.OK
+        n_tracked = sum(p is not None for p in est)
+        assert n_tracked >= len(frames) * 0.9
+        assert slam.n_kf_host >= 2
+
+        gt = {i * 0.1: np.linalg.inv(gt_poses[i]) for i in range(len(gt_poses))}
+        abs_poses = slam.trajectory.absolute_poses(np.asarray(slam.map.kf_pose))
+        err = ate_rmse(abs_poses, gt, max_dt=0.01, align_scale=False)
+        assert err < 0.01, f"ATE {err:.4f} m"
+
+    def test_reset_restarts_workers(self, desk_seq):
+        frames, _ = desk_seq
+        slam = SlamSystem(config=CFG_RGBD, sensor=Sensor.RGBD, async_mapping=True)
+        for i, (img, depth) in enumerate(frames[:6]):
+            slam.track_rgbd(img, depth, timestamp=i * 0.1)
+        slam.reset()
+        assert slam.state == TrackState.NO_IMAGES_YET
+        for i, (img, depth) in enumerate(frames[:6]):
+            slam.track_rgbd(img, depth, timestamp=i * 0.1)
+        slam.shutdown()
+        assert slam.state == TrackState.OK
+        assert slam.n_kf_host >= 1
