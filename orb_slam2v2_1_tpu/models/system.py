@@ -87,6 +87,7 @@ class SlamSystem:
         self._box = None
         self._mapper = None
         self._loops_seen = 0
+        self._stream = None
         if self.async_mapping:
             self._start_async()
 
@@ -151,6 +152,41 @@ class SlamSystem:
             self.n_loops_closed = self._mapper.n_loops
             self._mapper = None
             self._box = None
+        if self._stream is not None:
+            self._stream.close()
+            self._stream = None
+
+    # ------------------------------------------------------------------
+    # Multi-session server connection (StreamThread / ReceiveMapCallback)
+    # ------------------------------------------------------------------
+    def connect_server(self, host: str, port: int, client_id: int):
+        """Stream this session's keyframes/points to a MapServerNode
+        (SendClassToServer hookup, src/System.cc:141-143)."""
+        from ..parallel.stream import StreamClient
+
+        self._stream = StreamClient(host, port, client_id)
+
+    def fetch_server_map(self, merge_with: int | None = None):
+        """Pull the server's (optionally merged) map and hot-swap it in —
+        the CLIENT_MAP<cid> / ReceiveMapCallback path (src/System.cc:
+        1003-1066). Starts tracking in LOST state for relocalization."""
+        import io as _io
+
+        from ..utils import serialization
+
+        payload = self._stream.request_map(merge_with=merge_with)
+        self.map, meta = serialization.load_map(_io.BytesIO(payload))
+        self.ref_kf = int(meta.get("ref_kf", 0))
+        self.n_kf_host = int(meta.get("n_kf_host", int(self.map.n_kf)))
+        self.state = TrackState.LOST
+        self._have_velocity = False
+        self.last_frame = None
+        if self.vocab is not None:
+            self.loop_closer.db = serialization.rebuild_database(
+                self.map, self.vocab, self.config.max_keyframes,
+                self.config.n_features,
+            )
+        self._publish_fresh_map()
 
     # ------------------------------------------------------------------
     # Frame construction
@@ -430,6 +466,14 @@ class SlamSystem:
         self.ref_kf = int(kf_id)
         self.n_kf_host += 1
         self.last_kf_frame = self.frame_id
+        self._stream_keyframe()
+
+    def _stream_keyframe(self):
+        """Push the new keyframe + refined poses to the map server (the
+        Map::Add/UpdateKeyFrame forwarding, src/Map.cc:35-98)."""
+        if self._stream is not None:
+            self._stream.send_keyframe(self.map, self.ref_kf)
+            self._stream.send_pose_update(self.map, np.arange(self.n_kf_host))
 
     def _insert_keyframe_async(self, frame):
         """Tracking-side keyframe creation: structural append, then hand the
@@ -455,6 +499,7 @@ class SlamSystem:
         self.n_kf_host += 1
         self.last_kf_frame = self.frame_id
         self._mapper.submit_keyframe(self.ref_kf)
+        self._stream_keyframe()
 
     # ------------------------------------------------------------------
     def _initialize(self, frame: tracking.FrameData) -> bool:

@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument("--out", default="trajectory_tum.txt")
     p.add_argument("--save-map", default=None)
     p.add_argument("--ply", default=None, help="export sparse map PLY")
+    p.add_argument("--viz-dir", default=None,
+                   help="record frame/map PNGs (the Pangolin viewer analog)")
     p.add_argument("--frames", type=int, default=60)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--sync", action="store_true",
@@ -68,12 +70,19 @@ def main(argv=None):
         gt = {i * 0.1: np.linalg.inv(poses[i]) for i in range(len(poses))}
 
         slam = SlamSystem(config=cfg, sensor=sensor, async_mapping=not args.sync)
+        rec = None
+        if args.viz_dir:
+            from .utils.viz import FrameRecorder
+
+            rec = FrameRecorder(args.viz_dir)
         t0 = time.time()
         for i, (img, depth) in enumerate(frames):
             if sensor == Sensor.RGBD:
                 pose = slam.track_rgbd(img, depth, i * 0.1)
             else:
                 pose = slam.track_monocular(img, i * 0.1)
+            if rec is not None and slam.last_frame is not None:
+                rec.record(img, slam.last_frame, slam.map, slam.state.name)
             print(f"frame {i:04d}: {slam.state.name:16s} kf={slam.n_kf_host:3d} "
                   f"mp={int(slam.map.mp_valid.sum()):5d} loops={slam.n_loops_closed}")
         wall = time.time() - t0
