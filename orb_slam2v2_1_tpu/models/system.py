@@ -88,6 +88,8 @@ class SlamSystem:
         self._mapper = None
         self._loops_seen = 0
         self._stream = None
+        self._odom_Tcw = None
+        self._last_Tcw = None
         if self.async_mapping:
             self._start_async()
 
@@ -367,6 +369,7 @@ class SlamSystem:
                     self._have_velocity = False
                     self.frame_id += 1
                     self._record(timestamp, Tcw_r)
+                    self._update_odom(np.asarray(Tcw_r))
                     return np.asarray(Tcw_r)
             self.state = TrackState.LOST
             self._have_velocity = False
@@ -381,6 +384,7 @@ class SlamSystem:
         self._have_velocity = True
         self.trajectory.append_rel(timestamp, self.ref_kf, res.T_rel)
         self.last_frame = res.frame
+        self._update_odom(np.asarray(res.pose))
 
         if not self.localization_only and self._need_new_keyframe_stats(stats):
             if self.async_mapping:
@@ -615,6 +619,62 @@ class SlamSystem:
     def save_trajectory_kitti(self, path):
         self._refresh_from_box()
         self.trajectory.save_kitti(path, np.asarray(self.map.kf_pose))
+
+    # ------------------------------------------------------------------
+    # Pose/graph export API (the reference's ROS-facing surface).
+    def get_pose_array(self) -> list[np.ndarray]:
+        """Tcw of every live keyframe, id order (System::GetPoseArray,
+        src/System.cc:751-785; published as /PoseGraph PoseArray,
+        src/ros_rgbd.cc:177,444-506)."""
+        self._refresh_from_box()
+        valid = np.asarray(self.map.kf_valid)
+        poses = np.asarray(self.map.kf_pose)
+        return [poses[i] for i in range(len(valid)) if valid[i]]
+
+    def get_graph(self) -> dict:
+        """Pose-graph snapshot (the `get_graph` service, src/ros_rgbd.cc:67-108,
+        srv/MapGraph.srv -> PoseGraph.msg {posesId, poses, links}). The
+        reference links consecutive ids; we also expose the true covisibility
+        edges (weight >= 15) the reference keeps in KeyFrame::UpdateConnections
+        (src/KeyFrame.cc:290-380) since our map stores them as an array."""
+        self._refresh_from_box()
+        valid = np.asarray(self.map.kf_valid)
+        poses = np.asarray(self.map.kf_pose)
+        ids = [i for i in range(len(valid)) if valid[i]]
+        links = [
+            {"fromId": a, "toId": b} for a, b in zip(ids[:-1], ids[1:])
+        ]
+        from .map_state import covisibility
+
+        cov = np.asarray(covisibility(self.map))
+        ii, jj = np.nonzero(np.triu(cov, 1) >= 15)
+        covis_edges = [
+            {"fromId": int(a), "toId": int(b), "weight": int(cov[a, b])}
+            for a, b in zip(ii, jj)
+        ]
+        return {
+            "posesId": ids,
+            "poses": [poses[i] for i in ids],
+            "links": links,
+            "covisibility": covis_edges,
+        }
+
+    # Odometry-frame pose chain (fork addition, src/Tracking.cc:528-557):
+    # accumulates frame-to-frame motion into a drift-continuous odom frame
+    # that never jumps on loop closure/relocalization — the /odom->base_link
+    # TF analog (src/ros_rgbd.cc:140-198).
+    def _update_odom(self, Tcw: np.ndarray):
+        if self._odom_Tcw is None:
+            self._odom_Tcw = Tcw.copy()
+        elif self._last_Tcw is not None:
+            diff_twc = Tcw @ np.linalg.inv(self._last_Tcw)  # mPoseDiff.mTwc
+            self._odom_Tcw = diff_twc @ self._odom_Tcw
+        self._last_Tcw = Tcw.copy()
+
+    @property
+    def odom_pose(self) -> np.ndarray | None:
+        """T_cam_odom (4,4) in the odometry frame, or None before tracking."""
+        return None if self._odom_Tcw is None else self._odom_Tcw.copy()
 
 
 @jax.jit

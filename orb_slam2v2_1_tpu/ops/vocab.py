@@ -31,6 +31,9 @@ class Vocabulary(NamedTuple):
     # Flattened tree: level l has K_BRANCH^(l+1) nodes.
     nodes_pm1: tuple  # per level: (K^(l+1), 256) bf16 centroids in +-1
     word_weight: jax.Array  # (W,) f32 idf weights
+    # Per-level node validity for imported (incomplete) DBoW2 trees; empty
+    # tuple = complete tree (all nodes valid).
+    node_valid: tuple = ()
 
     @property
     def n_words(self) -> int:
@@ -131,6 +134,133 @@ def load_vocabulary(npz) -> Vocabulary:
 
 
 # ---------------------------------------------------------------------------
+# DBoW2 text-format interop (TemplatedVocabulary::loadFromTextFile /
+# saveToTextFile, TemplatedVocabulary.h:1351-1464): header "k L scoring
+# weighting", then one node per line in insertion order:
+# "parent isLeaf d0 .. d31 weight".
+# ---------------------------------------------------------------------------
+
+def import_dbow2_text(path, levels: int = LEVELS) -> Vocabulary:
+    """Load a DBoW2 ORB text vocabulary (e.g. the stock ORBvoc.txt) into the
+    flattened-tree runtime form.
+
+    Trees deeper than `levels` are truncated: depth-`levels` nodes become
+    words, with weight = sum of descendant leaf weights (tf-idf mass is
+    preserved). Incomplete branches are masked via Vocabulary.node_valid so
+    tree descent never routes into a hole.
+    """
+    with open(path) as f:
+        header = f.readline().split()
+        k = int(header[0])
+        if k != K_BRANCH:
+            raise ValueError(f"only k={K_BRANCH} vocabularies supported, got k={k}")
+        parents, is_leaf, descs, weights = [], [], [], []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            is_leaf.append(int(parts[1]) > 0)
+            descs.append(np.array(parts[2:34], np.uint8))
+            weights.append(float(parts[34]))
+    n = len(parents)
+    parents = np.asarray(parents)
+    # Node ids in the file are 1-based (root = 0, implicit); compute depth and
+    # per-parent child rank in insertion order (the parser at
+    # TemplatedVocabulary.h:1397-1404 appends children in file order).
+    depth = np.zeros(n + 1, np.int32)  # [0] = root
+    rank = np.zeros(n, np.int32)
+    child_count = np.zeros(n + 1, np.int32)
+    for i in range(n):
+        p = parents[i]
+        depth[i + 1] = depth[p] + 1
+        rank[i] = child_count[p]
+        child_count[p] += 1
+
+    # Flat slot of each node in the complete K^depth layout.
+    slot = np.zeros(n + 1, np.int64)
+    for i in range(n):
+        slot[i + 1] = slot[parents[i]] * K_BRANCH + rank[i]
+
+    bits_all = np.unpackbits(
+        np.stack(descs) if descs else np.zeros((0, 32), np.uint8),
+        axis=1, bitorder="little",
+    )
+    level_bits = []
+    level_valid = []
+    for lvl in range(levels):
+        size = K_BRANCH ** (lvl + 1)
+        lb = np.zeros((size, 256), np.uint8)
+        lv = np.zeros(size, bool)
+        sel = np.nonzero(depth[1:] == lvl + 1)[0]
+        lb[slot[sel + 1]] = bits_all[sel]
+        lv[slot[sel + 1]] = True
+        level_bits.append(lb)
+        level_valid.append(lv)
+
+    # Word weights at the truncation depth: accumulate every original leaf's
+    # weight into its depth-`levels` ancestor slot.
+    w = np.zeros(K_BRANCH ** levels, np.float64)
+    anc = np.zeros(n + 1, np.int64)  # ancestor slot at `levels`, tracked lazily
+    for i in range(n):
+        d = depth[i + 1]
+        if d == levels:
+            anc[i + 1] = slot[i + 1]
+        elif d > levels:
+            anc[i + 1] = anc[parents[i]]
+        if is_leaf[i] and d >= levels:
+            w[anc[i + 1]] += weights[i]
+        elif is_leaf[i] and d < levels:
+            # Shallow leaf: its subtree is a single chain of copies; weight
+            # lands on its slot scaled up to the truncation depth.
+            s = slot[i + 1]
+            for _ in range(levels - d):
+                s = s * K_BRANCH
+            w[s] += weights[i]
+            # Make the descent able to reach it: replicate the centroid down.
+            for l2 in range(d, levels):
+                s2 = slot[i + 1]
+                for _ in range(l2 + 1 - d):
+                    s2 = s2 * K_BRANCH
+                level_bits[l2][s2] = bits_all[i]
+                level_valid[l2][s2] = True
+
+    nodes = tuple(
+        jnp.asarray(b.astype(np.float32) * 2 - 1, jnp.bfloat16) for b in level_bits
+    )
+    return Vocabulary(
+        nodes_pm1=nodes,
+        word_weight=jnp.asarray(w, jnp.float32),
+        node_valid=tuple(jnp.asarray(v) for v in level_valid),
+    )
+
+
+def export_dbow2_text(vocab_npz: dict, path, scoring: int = 0, weighting: int = 0):
+    """Write our trained complete tree in DBoW2 text format (saveToTextFile
+    layout) so reference-tooling users can consume it."""
+    levels = [np.asarray(vocab_npz[f"level{l}"], np.uint8) for l in range(LEVELS)]
+    weight = np.asarray(vocab_npz["word_weight"], np.float64)
+    with open(path, "w") as f:
+        f.write(f"{K_BRANCH} {LEVELS}  {scoring} {weighting}\n")
+        # Complete tree, breadth-first: file node id of (lvl, slot) =
+        # 1 + sum_{l<lvl} K^(l+1) + slot; root is implicit id 0.
+        offset = [0]
+        for l in range(LEVELS):
+            offset.append(offset[-1] + K_BRANCH ** (l + 1))
+        for lvl in range(LEVELS):
+            bits = levels[lvl]
+            for s in range(bits.shape[0]):
+                parent = 0 if lvl == 0 else offset[lvl - 1] + s // K_BRANCH + 1
+                leaf = 1 if lvl == LEVELS - 1 else 0
+                byts = np.packbits(bits[s], bitorder="little")
+                w = weight[s] if leaf else 0.0
+                f.write(
+                    f"{parent} {leaf} " + " ".join(str(int(b)) for b in byts)
+                    + f" {w}\n"
+                )
+
+
+# ---------------------------------------------------------------------------
 # Runtime quantization + BoW (device)
 # ---------------------------------------------------------------------------
 
@@ -151,6 +281,8 @@ def assign_words(vocab: Vocabulary, desc_pm1: jax.Array) -> jax.Array:
         dots = jnp.einsum(
             "nb,nkb->nk", desc_pm1, cand, preferred_element_type=jnp.float32
         )
+        if vocab.node_valid:
+            dots = jnp.where(vocab.node_valid[lvl][cand_idx], dots, -jnp.inf)
         node = base + jnp.argmax(dots, axis=1).astype(jnp.int32)  # max dot = min Hamming
     return node
 

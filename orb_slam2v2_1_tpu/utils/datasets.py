@@ -78,6 +78,77 @@ def read_depth_tum(path, factor: float = 5000.0) -> np.ndarray:
     return d / factor
 
 
+def load_euroc_stereo(root: str | Path, max_dt: float = 0.005):
+    """EuRoC ASL directory (mav0/cam0, mav0/cam1, state_groundtruth_estimate0).
+
+    Mirrors the reference's EuRoC stereo usage (src/ros_stereo.cc subscribes
+    to the two image topics and rectifies online; here we pair cam0/cam1 by
+    nanosecond timestamp). Returns (pairs, gt) like the other loaders; gt maps
+    time (s) -> Twc (4,4) from the groundtruth csv (position + quaternion).
+    """
+    root = Path(root)
+
+    def read_cam(cam):
+        rows = []
+        csv = root / "mav0" / cam / "data.csv"
+        for line in csv.read_text().splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            ts_ns, fname = line.split(",")[:2]
+            rows.append((int(ts_ns) * 1e-9, root / "mav0" / cam / "data" / fname.strip()))
+        return rows
+
+    cam0 = read_cam("cam0")
+    cam1 = read_cam("cam1")
+    t1 = np.array([t for t, _ in cam1])
+    pairs = []
+    for t, left in cam0:
+        j = int(np.argmin(np.abs(t1 - t)))
+        if abs(t1[j] - t) <= max_dt:
+            pairs.append({"t": t, "left": left, "right": cam1[j][1]})
+
+    gt = {}
+    gt_csv = root / "mav0" / "state_groundtruth_estimate0" / "data.csv"
+    if gt_csv.exists():
+        from ..ops import lie
+        import jax.numpy as jnp
+
+        for line in gt_csv.read_text().splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            v = line.split(",")
+            t = int(v[0]) * 1e-9
+            tx, ty, tz = float(v[1]), float(v[2]), float(v[3])
+            qw, qx, qy, qz = float(v[4]), float(v[5]), float(v[6]), float(v[7])
+            R = np.asarray(lie.quat_to_rot(jnp.asarray([qx, qy, qz, qw], jnp.float32)))
+            Twc = np.eye(4)
+            Twc[:3, :3] = R
+            Twc[:3, 3] = [tx, ty, tz]
+            gt[t] = Twc
+    return pairs, gt
+
+
+# EuRoC factory stereo calibration (the values the reference's EuRoC settings
+# file carries for LEFT/RIGHT K/D plus the cam0->cam1 extrinsics from the MAV
+# sensor.yaml files), used to build a StereoRectifier when running raw ASL data.
+EUROC_CALIB = {
+    "K1": [[458.654, 0.0, 367.215], [0.0, 457.296, 248.375], [0.0, 0.0, 1.0]],
+    "D1": [-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05, 0.0],
+    "K2": [[457.587, 0.0, 379.999], [0.0, 456.134, 255.238], [0.0, 0.0, 1.0]],
+    "D2": [-0.28368365, 0.07451284, -0.00010473, -3.55590700e-05, 0.0],
+    # x_cam1 = R @ x_cam0 + T
+    "R": [
+        [0.999997256, 0.002312067, 0.000376008],
+        [-0.002317135, 0.999898049, 0.014089836],
+        [-0.000343393, -0.014090668, 0.999900663],
+    ],
+    "T": [-0.110073808, 0.000399121, -0.000853703],
+    "size": (752, 480),
+}
+
+
 def load_kitti_stereo(root: str | Path, sequence: str = "00"):
     """KITTI odometry grayscale pair lists + times + ground truth poses."""
     root = Path(root)
