@@ -134,6 +134,6 @@ def make_sharded_ba_step(mesh: Mesh, axis: str = "obs", **kw):
         mesh=mesh,
         in_specs=(P(), P(), obs_spec, P(), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
