@@ -315,8 +315,66 @@ def _schur_solve(prob: BAProblem, r, Jc, Jp, w, lam, cg_iters: int):
     return dx_cam, dx_pt
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters", "robust"))
-def ba_step_count(prob: BAProblem, iters: int = 5, cg_iters: int = 24, robust: bool = True):
+def _schur_solve_dense(prob: BAProblem, r, Jc, Jp, w, lam):
+    """One damped GN step with an EXPLICIT reduced camera system.
+
+    The matrix-free PCG path (`_schur_solve`) costs 24 sequential sparse
+    passes per LM iteration — latency-bound on TPU. For local/global windows
+    (C <= ~170 cameras) the reduced system S is only (6C, 6C): build it with
+    ONE big MXU matmul over the point-camera coupling blocks and solve by
+    dense Cholesky — the same math g2o's sparse-block factorization does
+    (block_solver.hpp:634), laid out for the systolic array instead.
+    """
+    C = prob.poses.shape[0]
+    P = prob.points.shape[0]
+    cam = prob.obs.cam_idx
+    pt = prob.obs.pt_idx
+
+    Wc = Jc * w[:, None, None]  # (O,3,6)
+    Wp = Jp * w[:, None, None]  # (O,3,3)
+
+    Hcc = jnp.zeros((C, 6, 6)).at[cam].add(jnp.einsum("oia,oib->oab", Jc, Wc))
+    Hpp = jnp.zeros((P, 3, 3)).at[pt].add(jnp.einsum("oia,oib->oab", Jp, Wp))
+    gc = jnp.zeros((C, 6)).at[cam].add(jnp.einsum("oia,oi->oa", Wc, r))
+    gp = jnp.zeros((P, 3)).at[pt].add(jnp.einsum("oia,oi->oa", Wp, r))
+
+    Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., None] * jnp.eye(6)
+    Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., None] * jnp.eye(3)
+    Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+    # Camera-point coupling blocks, densified per (point, window-camera):
+    # B[p,c] = sum_{obs(c,p)} Jc^T W Jp  — (P,C,6,3).
+    Bo = jnp.einsum("oia,oib->oab", Wc, Jp)  # (O,6,3)
+    B = jnp.zeros((P, C, 6, 3)).at[pt, cam].add(Bo)
+    U = jnp.einsum("pcax,pxy->pcay", B, Hpp_inv)  # B Hpp^-1
+
+    # S = blockdiag(Hcc_d) - B Hpp^-1 B^T : one (6C, 3P)x(3P, 6C) matmul.
+    S_corr = jnp.einsum("pcay,pdby->cadb", U, B)
+    S = -S_corr.reshape(C * 6, C * 6)
+    diag_idx = jnp.arange(C)
+    S = S.reshape(C, 6, C, 6).at[diag_idx, :, diag_idx, :].add(Hcc_d).reshape(C * 6, C * 6)
+
+    free6 = jnp.repeat(~prob.cam_fixed, 6)
+    # Fixed cameras have zeroed Jacobians: pin their rows to identity so the
+    # factorization stays SPD; their rhs is zero so dx stays zero.
+    S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
+    rhs = -(gc - jnp.einsum("pcay,py->ca", U, gp))
+    rhs = rhs * (~prob.cam_fixed)[:, None]
+
+    chol = jax.scipy.linalg.cho_factor(S)
+    dx_cam = jax.scipy.linalg.cho_solve(chol, rhs.reshape(-1)).reshape(C, 6)
+    dx_cam = dx_cam * (~prob.cam_fixed)[:, None]
+    dx_cam = jnp.where(jnp.all(jnp.isfinite(dx_cam)), dx_cam, jnp.zeros_like(dx_cam))
+
+    hpc_dx = jnp.einsum("pcax,ca->px", B, dx_cam)  # Hpc dx_cam
+    dx_pt = -jnp.einsum("pab,pb->pa", Hpp_inv, gp + hpc_dx)
+    dx_pt = jnp.where(jnp.all(jnp.isfinite(dx_pt)), dx_pt, jnp.zeros_like(dx_pt))
+    return dx_cam, dx_pt
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "robust", "dense"))
+def ba_step_count(prob: BAProblem, iters: int = 5, cg_iters: int = 24, robust: bool = True,
+                  dense: bool = False):
     """Run `iters` LM iterations; returns updated problem + final cost.
 
     The reference's LocalBundleAdjustment runs 5 iterations, removes chi2
@@ -328,7 +386,10 @@ def ba_step_count(prob: BAProblem, iters: int = 5, cg_iters: int = 24, robust: b
     def lm_iter(i, state):
         prob, lam = state
         r, Jc, Jp, w, cost0, _, _ = _build_system(prob, robust, inlier0)
-        dx_cam, dx_pt = _schur_solve(prob, r, Jc, Jp, w, lam, cg_iters)
+        if dense:
+            dx_cam, dx_pt = _schur_solve_dense(prob, r, Jc, Jp, w, lam)
+        else:
+            dx_cam, dx_pt = _schur_solve(prob, r, Jc, Jp, w, lam, cg_iters)
         new_poses = lie.se3_exp(dx_cam) @ prob.poses
         new_points = prob.points + dx_pt
         cand = prob._replace(poses=new_poses, points=new_points)
@@ -363,9 +424,12 @@ def bundle_adjust(prob: BAProblem, cg_iters: int = 24):
     """Local-BA composite: 5 robust iters -> outlier cull -> 10 plain iters.
 
     Mirrors Optimizer::LocalBundleAdjustment's schedule
-    (src/Optimizer.cc:607-636).
+    (src/Optimizer.cc:607-636). Windows small enough for an explicit reduced
+    camera matrix take the dense-Schur path (one MXU matmul + Cholesky per
+    iteration); larger problems fall back to matrix-free PCG.
     """
-    prob, _ = ba_step_count(prob, iters=5, cg_iters=cg_iters, robust=True)
+    dense = prob.poses.shape[0] * 6 <= 1024
+    prob, _ = ba_step_count(prob, iters=5, cg_iters=cg_iters, robust=True, dense=dense)
     prob = classify_outliers(prob)
-    prob, cost = ba_step_count(prob, iters=10, cg_iters=cg_iters, robust=False)
+    prob, cost = ba_step_count(prob, iters=10, cg_iters=cg_iters, robust=False, dense=dense)
     return prob, cost
