@@ -24,10 +24,9 @@ from .tracking import INV_LEVEL_SIGMA2, N_LEVELS, SCALE
 
 TRI_NEIGHBORS = 10  # mono uses 20, stereo 10 (src/LocalMapping.cc:219)
 NEW_MP_CAP = 384  # max new points accepted per neighbor pair
-BA_CAMS = 32  # local window cameras (free)
-BA_FIXED = 16  # boundary cameras (fixed)
-BA_PTS = 8192
-BA_OBS = 24576
+BA_CAMS = 24  # local window cameras (free)
+BA_FIXED = 8  # boundary cameras (fixed)
+BA_PTS = 4096  # point capacity of the window (top covisible points kept)
 
 
 def _cam_center(pose):
@@ -45,23 +44,81 @@ def create_map_points(
     """Triangulate new map points between the new keyframe and its best
     covisible neighbors (LocalMapping::CreateNewMapPoints,
     src/LocalMapping.cc:215-460 + ORBmatcher::SearchForTriangulation
-    src/ORBmatcher.cc:657-825)."""
+    src/ORBmatcher.cc:657-825).
+
+    All neighbor pairs are matched/triangulated/audited in PARALLEL (vmap);
+    a keypoint of the new KF that triangulates against several neighbors
+    keeps its best-covisibility pair (the sequential reference's
+    first-pair-claims semantics), then ONE masked append grows the map.
+    """
     del key
+    N = state.kf_xy.shape[1]
+    M = state.mp_pos.shape[0]
     C = covisibility(state)
     neigh_w, neigh_idx = jax.lax.top_k(C[kf_id], TRI_NEIGHBORS)
 
-    def per_neighbor(state, args):
-        n_kf, weight = args
-        state = _triangulate_pair(state, kf_id, n_kf, weight > 0, K, bf)
-        return state, None
+    good, X, m_idx = jax.vmap(
+        lambda n_kf, w: _triangulate_candidates(state, kf_id, n_kf, w > 0, K, bf)
+    )(neigh_idx, neigh_w)  # (T,N) bool, (T,N,3), (T,N)
 
-    state, _ = jax.lax.scan(per_neighbor, state, (neigh_idx, neigh_w))
-    return state
+    # Per kf1 keypoint: keep the first (best-covisibility) proposing pair.
+    good_any = jnp.any(good, axis=0)  # (N,)
+    chosen = jnp.argmax(good, axis=0)  # (N,) first True (weights sorted desc)
+    sl = jnp.arange(N)
+    X_sel = X[chosen, sl]  # (N,3)
+    m_sel = m_idx[chosen, sl]  # (N,) kf2-side slot
+    kf2_sel = neigh_idx[chosen]  # (N,)
+
+    # Masked append: new point j gets slot n_mp + rank(j among good).
+    rank = jnp.cumsum(good_any.astype(jnp.int32)) - 1
+    cap_ok = good_any & (rank < NEW_MP_CAP) & ((state.n_mp + rank) < M)
+    slot = jnp.where(cap_ok, state.n_mp + rank, M)  # M = parked/dropped
+
+    mp_pos = jnp.concatenate([state.mp_pos, jnp.zeros((1, 3))]).at[slot].set(X_sel)[:M]
+    mp_valid = jnp.concatenate([state.mp_valid, jnp.zeros(1, bool)]).at[slot].set(True)[:M]
+    mp_desc = (
+        jnp.concatenate([state.mp_desc, jnp.zeros((1, 8), jnp.uint32)])
+        .at[slot]
+        .set(state.kf_desc[kf_id])[:M]
+    )
+    mp_first = (
+        jnp.concatenate([state.mp_first_kf, jnp.zeros(1, jnp.int32)])
+        .at[slot]
+        .set(jnp.broadcast_to(kf_id, slot.shape))[:M]
+    )
+    mp_vis = jnp.concatenate([state.mp_visible, jnp.zeros(1, jnp.int32)]).at[slot].set(1)[:M]
+    mp_found = jnp.concatenate([state.mp_found, jnp.zeros(1, jnp.int32)]).at[slot].set(1)[:M]
+
+    new_id = jnp.where(cap_ok, slot, -1)
+    # Associate in each chosen neighbor row first (reads pre-update rows),
+    # then the new keyframe's own row.
+    nrows = state.kf_mp[neigh_idx]  # (T,N)
+    tsel = (chosen[None, :] == jnp.arange(TRI_NEIGHBORS)[:, None]) & cap_ok[None, :]
+    nrows = jax.vmap(
+        lambda row, sel, ms: row.at[jnp.where(sel, ms, N)].set(
+            jnp.where(sel, new_id, -1), mode="drop"
+        )
+    )(nrows, tsel, m_idx)
+    kf_mp = state.kf_mp.at[neigh_idx].set(nrows)
+    kf_mp = kf_mp.at[kf_id].set(jnp.where(cap_ok, new_id, state.kf_mp[kf_id]))
+
+    n_new = jnp.sum(cap_ok.astype(jnp.int32))
+    return state._replace(
+        mp_pos=mp_pos,
+        mp_valid=mp_valid,
+        mp_desc=mp_desc,
+        mp_first_kf=mp_first,
+        mp_visible=mp_vis,
+        mp_found=mp_found,
+        kf_mp=kf_mp,
+        n_mp=state.n_mp + n_new,
+    )
 
 
-def _triangulate_pair(state: MapState, kf1, kf2, pair_ok, K, bf):
+def _triangulate_candidates(state: MapState, kf1, kf2, pair_ok, K, bf):
+    """Match + triangulate + audit ONE keyframe pair, without mutating the
+    map. Returns (good (N,), X (N,3) world points, m_idx (N,) kf2 slots)."""
     N = state.kf_xy.shape[1]
-    M = state.mp_pos.shape[0]
 
     pose1 = state.kf_pose[kf1]
     pose2 = state.kf_pose[kf2]
@@ -155,47 +212,7 @@ def _triangulate_pair(state: MapState, kf1, kf2, pair_ok, K, bf):
         & e2_ok
         & scale_ok
     )
-
-    # Masked append: new point j gets slot n_mp + rank(j among good).
-    rank = jnp.cumsum(good.astype(jnp.int32)) - 1
-    cap_ok = good & (rank < NEW_MP_CAP) & ((state.n_mp + rank) < M)
-    slot = jnp.where(cap_ok, state.n_mp + rank, M)  # M = parked/dropped
-
-    mp_pos = jnp.concatenate([state.mp_pos, jnp.zeros((1, 3))]).at[slot].set(X)[:M]
-    mp_valid = jnp.concatenate([state.mp_valid, jnp.zeros(1, bool)]).at[slot].set(True)[:M]
-    mp_desc = (
-        jnp.concatenate([state.mp_desc, jnp.zeros((1, 8), jnp.uint32)])
-        .at[slot]
-        .set(state.kf_desc[kf1])[:M]
-    )
-    mp_first = (
-        jnp.concatenate([state.mp_first_kf, jnp.zeros(1, jnp.int32)])
-        .at[slot]
-        .set(jnp.broadcast_to(kf1, slot.shape))[:M]
-    )
-    mp_vis = jnp.concatenate([state.mp_visible, jnp.zeros(1, jnp.int32)]).at[slot].set(1)[:M]
-    mp_found = jnp.concatenate([state.mp_found, jnp.zeros(1, jnp.int32)]).at[slot].set(1)[:M]
-
-    new_id = jnp.where(cap_ok, slot, -1)
-    kf_mp = state.kf_mp.at[kf1].set(jnp.where(cap_ok, new_id, state.kf_mp[kf1]))
-    # Associate in kf2 at the matched slots.
-    kf2_row = state.kf_mp[kf2]
-    kf2_row = kf2_row.at[jnp.where(cap_ok, m.idx, N)].set(
-        jnp.where(cap_ok, new_id, -1), mode="drop"
-    )
-    kf_mp = kf_mp.at[kf2].set(kf2_row)
-
-    n_new = jnp.sum(cap_ok.astype(jnp.int32))
-    return state._replace(
-        mp_pos=mp_pos,
-        mp_valid=mp_valid,
-        mp_desc=mp_desc,
-        mp_first_kf=mp_first,
-        mp_visible=mp_vis,
-        mp_found=mp_found,
-        kf_mp=kf_mp,
-        n_mp=state.n_mp + n_new,
-    )
+    return good, jnp.where(good[:, None], X, 0.0), m.idx
 
 
 DEPTH_PT_CAP = 512
@@ -254,19 +271,18 @@ def create_depth_points(state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax
     return state
 
 
-def _fuse_pair(state: MapState, src_kf, dst_kf, pair_ok, K, bf):
-    """Project src_kf's map points into dst_kf; associate to free keypoints
-    or merge with conflicting points (ORBmatcher::Fuse,
-    src/ORBmatcher.cc:827-977)."""
+def _fuse_candidates(state: MapState, src_kf, dst_kf, pair_ok, K):
+    """Project src_kf's map points into dst_kf and match to its keypoints
+    (ORBmatcher::Fuse search phase, src/ORBmatcher.cc:827-977), WITHOUT
+    mutating the map. Returns (ok (N,), m_idx (N,) dst slots,
+    m_dist (N,), q_mp (N,) source point ids)."""
     from ..ops.projection import project
-
-    N = state.kf_xy.shape[1]
-    M = state.mp_pos.shape[0]
 
     q_mp = state.kf_mp[src_kf]  # (N,) candidate points to push into dst
     q_ok = (q_mp >= 0) & state.kf_kp_valid[src_kf] & pair_ok
     q_ok = q_ok & state.mp_valid[jnp.maximum(q_mp, 0)]
     # Skip points already observed by dst.
+    M = state.mp_pos.shape[0]
     dst_has = jnp.zeros(M + 1, bool).at[
         jnp.where(state.kf_mp[dst_kf] >= 0, state.kf_mp[dst_kf], M)
     ].set(True)
@@ -306,53 +322,105 @@ def _fuse_pair(state: MapState, src_kf, dst_kf, pair_ok, K, bf):
         max_dist=matching.TH_LOW,
         nn_ratio=1.0,
     )
-    ok = m.ok
-
-    dst_row = state.kf_mp[dst_kf]
-    existing = dst_row[m.idx]  # (N,) point already on the matched keypoint, or -1
-    src_pt = jnp.where(ok, q_mp, -1)
-
-    # Case 1: keypoint free -> add observation.
-    add_case = ok & (existing < 0)
-    new_row = dst_row.at[jnp.where(add_case, m.idx, N)].set(
-        jnp.where(add_case, src_pt, -1), mode="drop"
-    )
-    kf_mp = state.kf_mp.at[dst_kf].set(new_row)
-
-    # Case 2: keypoint already has a different point -> merge: the point with
-    # fewer observations is replaced by the other (MapPoint::Replace,
-    # src/MapPoint.cc:187-232).
-    merge_case = ok & (existing >= 0) & (existing != src_pt)
-    obs = mp_observation_count(state)
-    keep_src = obs[jnp.maximum(src_pt, 0)] >= obs[jnp.maximum(existing, 0)]
-    winner = jnp.where(keep_src, src_pt, existing)
-    loser = jnp.where(keep_src, existing, src_pt)
-    rep = jnp.arange(M + 1, dtype=jnp.int32)
-    rep = rep.at[jnp.where(merge_case, loser, M)].set(
-        jnp.where(merge_case, winner, -1), mode="drop"
-    )[:M]
-    kf_mp = jnp.where(kf_mp >= 0, rep[jnp.maximum(kf_mp, 0)], kf_mp)
-    mp_valid = state.mp_valid & (rep == jnp.arange(M))
-
-    return state._replace(kf_mp=kf_mp, mp_valid=mp_valid)
+    return m.ok, m.idx, m.dist, q_mp
 
 
 @partial(jax.jit, donate_argnames=("state",))
 def fuse_map_points(state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax.Array):
     """SearchInNeighbors (src/LocalMapping.cc:462-542): two-way Fuse between
-    the new keyframe and its best covisible neighbors."""
+    the new keyframe and its best covisible neighbors.
+
+    All 2*TRI_NEIGHBORS directed Fuse searches run in PARALLEL (vmap against
+    the same map snapshot); the association/merge bookkeeping is then applied
+    in one pass — per-neighbor rows are independent, the new KF's row
+    resolves cross-neighbor conflicts by best Hamming distance, and all
+    point merges collapse into a single replacement map (MapPoint::Replace,
+    src/MapPoint.cc:187-232). Merge chains that the reference's sequential
+    order would resolve within one round settle on the next keyframe's round.
+    """
+    N = state.kf_xy.shape[1]
+    M = state.mp_pos.shape[0]
+    T = TRI_NEIGHBORS
     C = covisibility(state)
-    neigh_w, neigh_idx = jax.lax.top_k(C[kf_id], TRI_NEIGHBORS)
+    neigh_w, neigh_idx = jax.lax.top_k(C[kf_id], T)
+    pair_ok = neigh_w > 0
 
-    def step(state, args):
-        n_kf, w = args
-        ok = w > 0
-        state = _fuse_pair(state, kf_id, n_kf, ok, K, bf)  # new KF pts -> neighbor
-        state = _fuse_pair(state, n_kf, kf_id, ok, K, bf)  # neighbor pts -> new KF
-        return state, None
+    # Direction A: new KF's points -> each neighbor (dst rows independent).
+    okA, idxA, distA, qmpA = jax.vmap(
+        lambda n, ok: _fuse_candidates(state, kf_id, n, ok, K)
+    )(neigh_idx, pair_ok)  # (T,N) each; qmpA rows identical (kf_id's points)
 
-    state, _ = jax.lax.scan(step, state, (neigh_idx, neigh_w))
-    return state
+    # Direction B: each neighbor's points -> the new KF (shared dst row).
+    okB, idxB, distB, qmpB = jax.vmap(
+        lambda n, ok: _fuse_candidates(state, n, kf_id, ok, K)
+    )(neigh_idx, pair_ok)
+
+    obs = mp_observation_count(state)
+    obs1 = jnp.concatenate([obs, jnp.zeros(1, jnp.int32)])  # -1-safe lookup
+
+    # --- apply A: per-neighbor row updates + merge pairs ---
+    nrows = state.kf_mp[neigh_idx]  # (T,N) pre-update
+    existA = jax.vmap(lambda row, idx: row[idx])(nrows, idxA)  # (T,N)
+    srcA = jnp.where(okA, qmpA, -1)
+    addA = okA & (existA < 0)
+    mergeA = okA & (existA >= 0) & (existA != srcA)
+    nrows = jax.vmap(
+        lambda row, sel, idx, val: row.at[jnp.where(sel, idx, N)].set(
+            jnp.where(sel, val, -1), mode="drop"
+        )
+    )(nrows, addA, idxA, srcA)
+    kf_mp = state.kf_mp.at[neigh_idx].set(nrows)
+
+    # --- apply B: one dst row (the new KF), cross-neighbor conflicts by
+    # best Hamming distance ---
+    big = jnp.int32(1 << 20)
+    prop_pt = jnp.full((T, N + 1), -1, jnp.int32)
+    prop_dist = jnp.full((T, N + 1), big)
+    t_iota = jnp.arange(T)[:, None]
+    dst_slot = jnp.where(okB, idxB, N)
+    prop_pt = prop_pt.at[t_iota, dst_slot].set(jnp.where(okB, qmpB, -1))
+    prop_dist = prop_dist.at[t_iota, dst_slot].min(jnp.where(okB, distB, big))
+    best_t = jnp.argmin(prop_dist[:, :N], axis=0)  # (N,)
+    slot_sel = prop_dist[best_t, jnp.arange(N)] < big
+    srcB = jnp.where(slot_sel, prop_pt[best_t, jnp.arange(N)], -1)
+    kf_row = kf_mp[kf_id]
+    existB = kf_row
+    addB = slot_sel & (srcB >= 0) & (existB < 0)
+    mergeB = slot_sel & (srcB >= 0) & (existB >= 0) & (existB != srcB)
+    # Dedup: two neighbors can propose the SAME point for different slots
+    # (the sequential reference's per-pair dst_has check); keep the best
+    # distance, ties broken by slot order.
+    dist_sel = prop_dist[best_t, jnp.arange(N)]
+    pt_best = jnp.full(M + 1, big).at[jnp.where(addB, srcB, M)].min(dist_sel)
+    cand = addB & (dist_sel <= pt_best[jnp.maximum(srcB, 0)])
+    pt_first = (
+        jnp.full(M + 1, N, jnp.int32)
+        .at[jnp.where(cand, srcB, M)]
+        .min(jnp.arange(N, dtype=jnp.int32))
+    )
+    addB = cand & (pt_first[jnp.maximum(srcB, 0)] == jnp.arange(N))
+    kf_row = jnp.where(addB, srcB, kf_row)
+    kf_mp = kf_mp.at[kf_id].set(kf_row)
+
+    # --- merges: the point with fewer observations is replaced ---
+    l_a = jnp.where(mergeA, existA, -1).reshape(-1)
+    s_a = jnp.where(mergeA, srcA, -1).reshape(-1)
+    l_b = jnp.where(mergeB, existB, -1)
+    s_b = jnp.where(mergeB, srcB, -1)
+    losers0 = jnp.concatenate([l_a, l_b])
+    srcs = jnp.concatenate([s_a, s_b])
+    keep_src = obs1[srcs] >= obs1[losers0]
+    winner = jnp.where(keep_src, srcs, losers0)
+    loser = jnp.where(keep_src, losers0, srcs)
+    valid_merge = (losers0 >= 0) & (srcs >= 0)
+    rep = jnp.arange(M + 1, dtype=jnp.int32)
+    rep = rep.at[jnp.where(valid_merge, loser, M)].set(
+        jnp.where(valid_merge, winner, -1), mode="drop"
+    )[:M]
+    kf_mp = jnp.where(kf_mp >= 0, rep[jnp.maximum(kf_mp, 0)], kf_mp)
+    mp_valid = state.mp_valid & (rep == jnp.arange(M))
+
+    return state._replace(kf_mp=kf_mp, mp_valid=mp_valid)
 
 
 @partial(jax.jit, donate_argnames=("state",))
@@ -436,12 +504,17 @@ def local_bundle_adjustment_impl(state: MapState, kf_id: jax.Array, K: jax.Array
     neighbors; points = all their observations; fixed cameras = other
     observers of those points.
 
+    Uses the camera-major structured window (ba.BAWindow): the observation
+    set is exactly (window camera, keypoint slot), so no edge-list sort is
+    needed and the Schur blocks assemble with one packed gather.
+
     Raw (untraced) body; use `local_bundle_adjustment` (donating jit) on the
     linear synchronous path, or call this from a larger fused program (e.g.
     frontend.mapping_pipeline, where the input snapshot is shared with the
     tracking thread and must NOT be donated)."""
     Kmax, N = state.kf_mp.shape
     M = state.mp_pos.shape[0]
+    P = min(BA_PTS, M)
 
     C = covisibility(state)
     w = C[kf_id].at[kf_id].set(1 << 20)  # ensure self in window
@@ -454,16 +527,16 @@ def local_bundle_adjustment_impl(state: MapState, kf_id: jax.Array, K: jax.Array
         (state.kf_mp >= 0) & state.kf_kp_valid & free_mask[:, None], state.kf_mp, M
     )
     pt_mask = jnp.zeros(M + 1, bool).at[mp_in.reshape(-1)].set(True)[:M] & state.mp_valid
-    _, pt_sel = jax.lax.top_k(pt_mask.astype(jnp.int32), min(BA_PTS, M))
+    _, pt_sel = jax.lax.top_k(pt_mask.astype(jnp.int32), P)
     pt_sel_valid = pt_mask[pt_sel]
-    # Inverse map mp -> point slot.
-    inv_pt = jnp.full(M + 1, -1, jnp.int32).at[jnp.where(pt_sel_valid, pt_sel, M)].set(
-        jnp.arange(pt_sel.shape[0], dtype=jnp.int32)
-    )
+    # Inverse map mp -> point slot (P = not selected).
+    inv_pt = jnp.full(M + 1, P, jnp.int32).at[jnp.where(pt_sel_valid, pt_sel, M)].set(
+        jnp.arange(P, dtype=jnp.int32)
+    )[:M]
 
     # Fixed cameras: observe selected points but are not free.
     sees_sel = jnp.any(
-        (state.kf_mp >= 0) & state.kf_kp_valid & (inv_pt[jnp.maximum(state.kf_mp, 0)] >= 0),
+        (state.kf_mp >= 0) & state.kf_kp_valid & (inv_pt[jnp.maximum(state.kf_mp, 0)] < P),
         axis=1,
     )
     fixed_cand = sees_sel & ~free_mask & state.kf_valid
@@ -486,61 +559,47 @@ def local_bundle_adjustment_impl(state: MapState, kf_id: jax.Array, K: jax.Array
     order_key = jnp.where(cam_used & ~cam_fixed, cam_kf, 1 << 20)
     anchor = jnp.argsort(order_key)[:1]
     cam_fixed = cam_fixed.at[anchor].set(True)
-    Ctot = cam_kf.shape[0]
-    inv_cam = (
-        jnp.full(Kmax + 1, -1, jnp.int32)
-        .at[jnp.where(cam_used, cam_kf, Kmax)]
-        .set(jnp.arange(Ctot, dtype=jnp.int32))[:Kmax]
-    )
 
-    # Observation list: every (kf-in-window, slot) whose mp is selected.
-    in_cam = inv_cam[jnp.arange(Kmax)] >= 0
-    flat_ok = (
-        in_cam[:, None]
-        & state.kf_kp_valid
-        & (state.kf_mp >= 0)
-        & (inv_pt[jnp.maximum(state.kf_mp, 0)] >= 0)
-    ).reshape(-1)
-    _, obs_sel = jax.lax.top_k(flat_ok.astype(jnp.int32), min(BA_OBS, Kmax * N))
-    obs_valid = flat_ok[obs_sel]
-    ok_kf = obs_sel // N
-    ok_slot = obs_sel % N
-
-    obs = ba.Obs(
-        cam_idx=inv_cam[ok_kf].clip(0),
-        pt_idx=inv_pt[jnp.maximum(state.kf_mp[ok_kf, ok_slot], 0)].clip(0),
-        target=jnp.concatenate(
-            [state.kf_xy[ok_kf, ok_slot], state.kf_ur[ok_kf, ok_slot, None]], -1
-        ),
-        inv_sigma2=INV_LEVEL_SIGMA2[
-            jnp.clip(state.kf_level[ok_kf, ok_slot], 0, N_LEVELS - 1)
-        ],
-        is_stereo=state.kf_ur[ok_kf, ok_slot] >= 0,
-        valid=obs_valid,
+    # Structured (C, N) observations: camera c's keypoint slots, point ids
+    # remapped into the window (P = unselected/none).
+    kf_mp_w = state.kf_mp[cam_kf]  # (C,N)
+    pt_idx = inv_pt[jnp.maximum(kf_mp_w, 0)]
+    obs_valid = (
+        cam_used[:, None]
+        & state.kf_kp_valid[cam_kf]
+        & (kf_mp_w >= 0)
+        & (pt_idx < P)
     )
-    prob = ba.BAProblem(
+    win = ba.BAWindow(
         poses=state.kf_pose[cam_kf],
         points=state.mp_pos[pt_sel],
-        obs=obs,
+        pt_idx=jnp.where(obs_valid, pt_idx, P),
+        target=jnp.concatenate(
+            [state.kf_xy[cam_kf], state.kf_ur[cam_kf][..., None]], -1
+        ),
+        inv_sigma2=INV_LEVEL_SIGMA2[jnp.clip(state.kf_level[cam_kf], 0, N_LEVELS - 1)],
+        is_stereo=state.kf_ur[cam_kf] >= 0,
+        valid=obs_valid,
         cam_fixed=cam_fixed,
         K=K,
         bf=bf,
     )
-    prob2, cost = ba.bundle_adjust(prob)
+    win2, cost = ba.bundle_adjust_window(win)
 
     # Write back.
     kf_pose = state.kf_pose.at[jnp.where(cam_used & ~cam_fixed, cam_kf, Kmax)].set(
-        prob2.poses, mode="drop"
+        win2.poses, mode="drop"
     )
     mp_pos = state.mp_pos.at[jnp.where(pt_sel_valid, pt_sel, M)].set(
-        prob2.points, mode="drop"
+        win2.points, mode="drop"
     )
     # Outlier observations detached (reference erases outlier edges after BA,
     # src/Optimizer.cc:711-737).
-    killed = obs_valid & ~prob2.obs.valid
-    kf_mp = state.kf_mp.reshape(-1).at[jnp.where(killed, obs_sel, Kmax * N)].set(
-        -1, mode="drop"
-    ).reshape(Kmax, N)
+    killed = obs_valid & ~win2.valid  # (C,N)
+    new_rows = jnp.where(killed, -1, kf_mp_w)
+    kf_mp = state.kf_mp.at[jnp.where(cam_used, cam_kf, Kmax)].set(
+        new_rows, mode="drop"
+    )
     return state._replace(kf_pose=kf_pose, mp_pos=mp_pos, kf_mp=kf_mp), cost
 
 

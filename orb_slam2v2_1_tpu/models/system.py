@@ -182,6 +182,7 @@ class SlamSystem:
         self.n_kf_host = int(meta.get("n_kf_host", int(self.map.n_kf)))
         self.state = TrackState.LOST
         self._have_velocity = False
+        self._last_Tcw = None
         self.last_frame = None
         if self.vocab is not None:
             self.loop_closer.db = serialization.rebuild_database(
@@ -346,6 +347,7 @@ class SlamSystem:
                 # motion model (CorrectLoop's map-update mutex analog).
                 self._loops_seen = self.n_loops_closed = self._mapper.n_loops
                 self._have_velocity = False
+                self._last_Tcw = None  # odom frame must not absorb the jump
             self._mapper.raise_worker_errors()
         else:
             self.map = res.state
@@ -367,12 +369,19 @@ class SlamSystem:
                     self.ref_kf = ref
                     self.last_frame = res.frame._replace(pose=Tcw_r, mp=frame_mp)
                     self._have_velocity = False
+                    # Re-seed the odom chain: the relocalization pose is
+                    # discontinuous with the pre-loss pose, so the first
+                    # post-reloc frame must not apply a diff (the reference
+                    # skips the diff when mLastFrame.mTcw is empty,
+                    # src/Tracking.cc:548).
+                    self._last_Tcw = None
                     self.frame_id += 1
                     self._record(timestamp, Tcw_r)
                     self._update_odom(np.asarray(Tcw_r))
                     return np.asarray(Tcw_r)
             self.state = TrackState.LOST
             self._have_velocity = False
+            self._last_Tcw = None  # odom chain must not bridge the gap
             self.frame_id += 1
             self.trajectory.append_rel(
                 timestamp, self.ref_kf, np.eye(4), lost=True
@@ -405,6 +414,7 @@ class SlamSystem:
                         self.n_loops_closed += 1
                         # The map moved under us: invalidate the motion model.
                         self._have_velocity = False
+                        self._last_Tcw = None  # odom frame must not absorb the jump
         self.frame_id += 1
         return np.asarray(res.pose)
 
@@ -429,6 +439,7 @@ class SlamSystem:
         self.n_kf_host = 0
         self.last_kf_frame = -1
         self._have_velocity = False
+        self._last_Tcw = None
         self.trajectory = Trajectory()
         self._init_recognition()
         if self._mapper is not None:
@@ -604,6 +615,7 @@ class SlamSystem:
         self.frame_id = int(meta.get("frame_id", 0))
         self.state = TrackState.LOST
         self._have_velocity = False
+        self._last_Tcw = None
         self.last_frame = None
         if self.vocab is not None:
             self.loop_closer.db = serialization.rebuild_database(

@@ -409,6 +409,256 @@ def ba_step_count(prob: BAProblem, iters: int = 5, cg_iters: int = 24, robust: b
     return prob, cost
 
 
+# ---------------------------------------------------------------------------
+# Structured-window BA: camera-major (C, N) observation layout
+# ---------------------------------------------------------------------------
+#
+# The COO path above is general but pays for it: building the edge list needs
+# a giant top_k over K*N slots, and every Schur block is assembled by
+# scatter-add over O observations. The local-BA window has structure the COO
+# form throws away: each camera observes each point AT MOST ONCE, and the
+# observation set is exactly "keypoint slot n of window camera c". Keeping
+# observations as dense (C, N) arrays makes Hcc/gc pure batched matmuls, and
+# the point-major blocks (Hpp, gp, B) ONE packed gather through a
+# once-per-window (P, C) -> keypoint-slot index — no sorts, no scatter-adds
+# in the iteration loop. This is the TPU layout for what g2o does with
+# sparse block pointers (block_solver.hpp:634).
+
+
+class BAWindow(NamedTuple):
+    """Local-BA problem in camera-major layout.
+
+    N is the per-keyframe feature capacity; a window observation is
+    (camera c, keypoint slot n). `pt_idx[c, n]` is the point slot in
+    [0, P) or >= P for "no observation".
+    """
+
+    poses: jax.Array  # (C,4,4) Tcw
+    points: jax.Array  # (P,3)
+    pt_idx: jax.Array  # (C,N) i32
+    target: jax.Array  # (C,N,3) (u, v, u_r)
+    inv_sigma2: jax.Array  # (C,N)
+    is_stereo: jax.Array  # (C,N) bool
+    valid: jax.Array  # (C,N) bool
+    cam_fixed: jax.Array  # (C,) bool
+    K: jax.Array  # (4,)
+    bf: jax.Array  # ()
+
+
+def _window_slot_of(win: BAWindow):
+    """(P, C) keypoint slot observing each point per camera (N if none).
+
+    Collision-free by construction (a camera observes a point once), so a
+    single scatter-set builds the whole reverse index.
+    """
+    C, N = win.pt_idx.shape
+    P = win.points.shape[0]
+    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (C, N), 0)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (C, N), 1)
+    flat_pt = jnp.where(win.valid, win.pt_idx, P)
+    slot_of = (
+        jnp.full((P + 1, C), N, jnp.int32)
+        .at[flat_pt.reshape(-1), cam_iota.reshape(-1)]
+        .set(slot_iota.reshape(-1), mode="drop")[:P]
+    )
+    return slot_of
+
+
+def _inv3x3(H: jax.Array) -> jax.Array:
+    """Closed-form batched 3x3 inverse (adjugate / det) — pure VPU."""
+    a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    d, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    g, h, i = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    Cf = d * h - e * g
+    det = a * A + b * B + c * Cf
+    idet = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    adj = jnp.stack(
+        [
+            A, -(b * i - c * h), (b * f - c * e),
+            B, (a * i - c * g), -(a * f - c * d),
+            Cf, -(a * h - b * g), (a * e - b * d),
+        ],
+        axis=-1,
+    ).reshape(*H.shape[:-2], 3, 3)
+    return adj * idet[..., None, None]
+
+
+def _window_eval(poses, points, win: BAWindow, with_jac: bool):
+    """Residuals (+ optionally Jacobians) for every (camera, slot) pair."""
+    P = win.points.shape[0]
+    pw = points[jnp.minimum(win.pt_idx, P - 1)]  # (C,N,3)
+    rmask = jnp.where(
+        win.is_stereo[..., None], jnp.ones(3), jnp.array([1.0, 1.0, 0.0])
+    )
+    if with_jac:
+        f = jax.vmap(
+            jax.vmap(_residual_jac, in_axes=(None, 0, 0, None, None)),
+            in_axes=(0, 0, 0, None, None),
+        )
+        r, Jc, Jp, behind = f(poses, pw, win.target, win.K, win.bf)
+        return r * rmask, Jc * rmask[..., None], Jp * rmask[..., None], behind
+
+    # Residual-only path (LM accept test): straight projection math.
+    R = poses[:, None, :3, :3]
+    t = poses[:, None, :3, 3]
+    pc = jnp.einsum("cnij,cnj->cni", jnp.broadcast_to(R, (*pw.shape[:2], 3, 3)), pw) + t
+    z = jnp.maximum(pc[..., 2], 1e-6)
+    u = win.K[0] * pc[..., 0] / z + win.K[2]
+    v = win.K[1] * pc[..., 1] / z + win.K[3]
+    ur = u - win.bf / z
+    r = (jnp.stack([u, v, ur], axis=-1) - win.target) * rmask
+    return r, None, None, pc[..., 2] <= 1e-6
+
+
+def _window_chi2(r, win: BAWindow):
+    dim = jnp.where(win.is_stereo[..., None], jnp.ones(3), jnp.array([1.0, 1.0, 0.0]))
+    return jnp.sum(r * r * dim, axis=-1) * win.inv_sigma2
+
+
+def _window_huber(win: BAWindow, chi2, robust):
+    delta2 = jnp.where(win.is_stereo, CHI2_STEREO, CHI2_MONO)
+    hw = jnp.where(chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
+    return jnp.where(robust, hw, 1.0)
+
+
+def _window_cost(poses, points, win: BAWindow, robust, inlier):
+    r, _, _, _ = _window_eval(poses, points, win, with_jac=False)
+    chi2 = _window_chi2(r, win)
+    return jnp.sum(chi2 * _window_huber(win, chi2, robust) * win.valid * inlier)
+
+
+def _window_schur_step(win: BAWindow, slot_of, r, Jc, Jp, w, lam):
+    """One damped GN step: Schur-eliminate points, dense reduced solve.
+
+    All point-major blocks come from ONE packed gather of the per-observation
+    block tensor G (C,N,30) -> (P,C,30); the reduced system is a single
+    (6C, 3P) x (3P, 6C) MXU matmul.
+    """
+    C, N = w.shape
+    P = win.points.shape[0]
+
+    Wc = Jc * w[..., None, None]  # (C,N,3,6)
+    Hcc = jnp.einsum("cnia,cnib->cab", Jc, Wc)  # (C,6,6)
+    gc = jnp.einsum("cnia,cni->ca", Wc, r)  # (C,6)
+
+    Bo = jnp.einsum("cnia,cnib->cnab", Wc, Jp)  # Jc^T W Jp (C,N,6,3)
+    Wp = Jp * w[..., None, None]
+    Hpp_o = jnp.einsum("cnia,cnib->cnab", Jp, Wp)  # (C,N,3,3)
+    gp_o = jnp.einsum("cnia,cni->cna", Wp, r)  # (C,N,3)
+
+    G = jnp.concatenate(
+        [Bo.reshape(C, N, 18), Hpp_o.reshape(C, N, 9), gp_o], axis=-1
+    )  # (C,N,30)
+    slot_c = jnp.minimum(slot_of, N - 1)  # (P,C)
+    obs_ok = (slot_of < N).astype(G.dtype)[..., None]  # (P,C,1)
+    cam_iota = jax.lax.broadcasted_iota(jnp.int32, slot_c.shape, 1)
+    Gp = G[cam_iota, slot_c] * obs_ok  # (P,C,30)
+
+    B = Gp[..., :18].reshape(P, C, 6, 3)
+    Hpp = jnp.sum(Gp[..., 18:27], axis=1).reshape(P, 3, 3)
+    gp = jnp.sum(Gp[..., 27:30], axis=1)  # (P,3)
+
+    eye6 = jnp.eye(6)
+    Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., None] * eye6
+    Hpp_d = Hpp + (
+        lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-6
+    )[..., None] * jnp.eye(3)
+    Hpp_inv = _inv3x3(Hpp_d)
+
+    U = jnp.einsum("pcax,pxy->pcay", B, Hpp_inv)  # B Hpp^-1
+    U2 = U.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
+    B2 = B.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
+    S = -jnp.dot(U2, B2.T, preferred_element_type=jnp.float32)
+    diag_idx = jnp.arange(C)
+    S = (
+        S.reshape(C, 6, C, 6)
+        .at[diag_idx, :, diag_idx, :]
+        .add(Hcc_d)
+        .reshape(C * 6, C * 6)
+    )
+
+    free6 = jnp.repeat(~win.cam_fixed, 6)
+    # Fixed cameras have zeroed Jacobians: pin their rows to identity so the
+    # factorization stays nonsingular; their rhs is zero so dx stays zero.
+    S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
+    rhs = -(gc - jnp.einsum("pcay,py->ca", U, gp))
+    rhs = rhs * (~win.cam_fixed)[:, None]
+
+    dx_cam = jnp.linalg.solve(S, rhs.reshape(-1)).reshape(C, 6)
+    dx_cam = dx_cam * (~win.cam_fixed)[:, None]
+    dx_cam = jnp.where(jnp.all(jnp.isfinite(dx_cam)), dx_cam, jnp.zeros_like(dx_cam))
+
+    hpc_dx = jnp.einsum("pcax,ca->px", B, dx_cam)
+    dx_pt = -jnp.einsum("pab,pb->pa", Hpp_inv, gp + hpc_dx)
+    dx_pt = jnp.where(jnp.all(jnp.isfinite(dx_pt)), dx_pt, jnp.zeros_like(dx_pt))
+    # Points with no (valid) observation must not move.
+    has_obs = jnp.any(slot_of < N, axis=1)
+    dx_pt = dx_pt * has_obs[:, None]
+    return dx_cam, dx_pt
+
+
+@partial(jax.jit, static_argnames=("iters", "robust"))
+def ba_window_steps(win: BAWindow, iters: int = 5, robust: bool = True):
+    """`iters` LM iterations on the structured window; returns (win, cost)."""
+    slot_of = _window_slot_of(win)
+    inlier0 = win.valid.astype(jnp.float32)
+
+    def lm_iter(i, state):
+        win, lam = state
+        r, Jc, Jp, _ = _window_eval(win.poses, win.points, win, with_jac=True)
+        chi2 = _window_chi2(r, win)
+        w = (
+            win.inv_sigma2
+            * _window_huber(win, chi2, jnp.asarray(robust))
+            * win.valid
+        )
+        cost0 = jnp.sum(chi2 * _window_huber(win, chi2, robust) * win.valid)
+        # Fixed cameras contribute measurements but no pose columns.
+        Jc_f = Jc * (~win.cam_fixed)[:, None, None, None].astype(Jc.dtype)
+        dx_cam, dx_pt = _window_schur_step(win, slot_of, r, Jc_f, Jp, w, lam)
+        new_poses = lie.se3_exp(dx_cam) @ win.poses
+        new_points = win.points + dx_pt
+        cost1 = _window_cost(new_poses, new_points, win, robust, inlier0)
+        accept = cost1 < cost0
+        win = win._replace(
+            poses=jnp.where(accept, new_poses, win.poses),
+            points=jnp.where(accept, new_points, win.points),
+        )
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6)
+        return (win, lam)
+
+    win, _ = jax.lax.fori_loop(0, iters, lm_iter, (win, jnp.float32(1e-4)))
+    ortho = lie.orthonormalize(win.poses)
+    win = win._replace(
+        poses=jnp.where(win.cam_fixed[:, None, None], win.poses, ortho)
+    )
+    cost = _window_cost(win.poses, win.points, win, robust, inlier0)
+    return win, cost
+
+
+@jax.jit
+def classify_outliers_window(win: BAWindow):
+    """chi2 + depth-positivity gate on the structured window
+    (src/Optimizer.cc:616-625,711-720)."""
+    r, _, _, behind = _window_eval(win.poses, win.points, win, with_jac=False)
+    chi2 = _window_chi2(r, win)
+    th = jnp.where(win.is_stereo, CHI2_STEREO, CHI2_MONO)
+    good = (chi2 <= th) & ~behind & win.valid
+    return win._replace(valid=good)
+
+
+def bundle_adjust_window(win: BAWindow):
+    """Local-BA composite on the structured window: 5 robust iters ->
+    outlier cull -> 10 plain iters (Optimizer::LocalBundleAdjustment
+    schedule, src/Optimizer.cc:607-636)."""
+    win, _ = ba_window_steps(win, iters=5, robust=True)
+    win = classify_outliers_window(win)
+    win, cost = ba_window_steps(win, iters=10, robust=False)
+    return win, cost
+
+
 @jax.jit
 def classify_outliers(prob: BAProblem):
     """chi2 gate + depth positivity, as between the reference's local-BA
@@ -428,7 +678,14 @@ def bundle_adjust(prob: BAProblem, cg_iters: int = 24):
     camera matrix take the dense-Schur path (one MXU matmul + Cholesky per
     iteration); larger problems fall back to matrix-free PCG.
     """
-    dense = prob.poses.shape[0] * 6 <= 1024
+    C = prob.poses.shape[0]
+    P = prob.points.shape[0]
+    # Dense path materializes the (P,C,6,3) coupling B and B Hpp^-1 inside
+    # every LM iteration (~2 x P*C*72 bytes transient). Gate on BOTH the
+    # reduced-system size (Cholesky cost) and the coupling footprint so
+    # global BA at (P=16384, C=128) doesn't allocate ~300 MB per iteration
+    # on small devices.
+    dense = (C * 6 <= 1024) and (P * C * 72 <= 128 * 1024 * 1024)
     prob, _ = ba_step_count(prob, iters=5, cg_iters=cg_iters, robust=True, dense=dense)
     prob = classify_outliers(prob)
     prob, cost = ba_step_count(prob, iters=10, cg_iters=cg_iters, robust=False, dense=dense)

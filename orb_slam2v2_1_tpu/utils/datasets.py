@@ -78,13 +78,49 @@ def read_depth_tum(path, factor: float = 5000.0) -> np.ndarray:
     return d / factor
 
 
+# EuRoC cam0 body->sensor extrinsic (x_body = T_BS @ x_cam0), the value every
+# EuRoC MAV dataset ships in mav0/cam0/sensor.yaml. Used to convert the
+# groundtruth T_WB (body/IMU in world) into true camera poses; without it ATE
+# against SLAM camera poses picks up attitude-dependent error of several cm.
+EUROC_CAM0_T_BS = np.array(
+    [
+        [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975],
+        [0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768],
+        [-0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+)
+
+
+def _read_euroc_t_bs(sensor_yaml: Path) -> np.ndarray | None:
+    """Parse the T_BS 4x4 from a EuRoC sensor.yaml without a YAML dependency
+    (the file is machine-generated: `data: [a, b, ...]` on the lines after
+    `T_BS:`)."""
+    try:
+        text = sensor_yaml.read_text()
+    except OSError:
+        return None
+    import re
+
+    m = re.search(r"T_BS:.*?data:\s*\[([^\]]+)\]", text, re.DOTALL)
+    if not m:
+        return None
+    vals = [float(x) for x in m.group(1).replace("\n", " ").split(",")]
+    if len(vals) != 16:
+        return None
+    return np.array(vals).reshape(4, 4)
+
+
 def load_euroc_stereo(root: str | Path, max_dt: float = 0.005):
     """EuRoC ASL directory (mav0/cam0, mav0/cam1, state_groundtruth_estimate0).
 
     Mirrors the reference's EuRoC stereo usage (src/ros_stereo.cc subscribes
     to the two image topics and rectifies online; here we pair cam0/cam1 by
     nanosecond timestamp). Returns (pairs, gt) like the other loaders; gt maps
-    time (s) -> Twc (4,4) from the groundtruth csv (position + quaternion).
+    time (s) -> Twc (4,4) — the groundtruth csv stores T_WB (body/IMU in
+    world), which is composed with cam0's T_BS extrinsic (read from
+    mav0/cam0/sensor.yaml, falling back to the factory value) to yield camera
+    poses comparable against SLAM output.
     """
     root = Path(root)
 
@@ -114,6 +150,9 @@ def load_euroc_stereo(root: str | Path, max_dt: float = 0.005):
         from ..ops import lie
         import jax.numpy as jnp
 
+        T_BS = _read_euroc_t_bs(root / "mav0" / "cam0" / "sensor.yaml")
+        if T_BS is None:
+            T_BS = EUROC_CAM0_T_BS
         for line in gt_csv.read_text().splitlines():
             line = line.strip()
             if not line or line.startswith("#"):
@@ -123,10 +162,10 @@ def load_euroc_stereo(root: str | Path, max_dt: float = 0.005):
             tx, ty, tz = float(v[1]), float(v[2]), float(v[3])
             qw, qx, qy, qz = float(v[4]), float(v[5]), float(v[6]), float(v[7])
             R = np.asarray(lie.quat_to_rot(jnp.asarray([qx, qy, qz, qw], jnp.float32)))
-            Twc = np.eye(4)
-            Twc[:3, :3] = R
-            Twc[:3, 3] = [tx, ty, tz]
-            gt[t] = Twc
+            T_WB = np.eye(4)
+            T_WB[:3, :3] = R
+            T_WB[:3, 3] = [tx, ty, tz]
+            gt[t] = T_WB @ T_BS  # Twc: camera (cam0) pose in world
     return pairs, gt
 
 

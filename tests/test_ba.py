@@ -148,6 +148,110 @@ class TestBundleAdjust:
         np.testing.assert_allclose(prob2.poses[:2], prob.poses[:2], atol=1e-6)
 
 
+def coo_to_window(prob: ba.BAProblem, n_slots: int):
+    """Pack a COO problem (unique (cam, pt) pairs) into a BAWindow."""
+    C = prob.poses.shape[0]
+    P = prob.points.shape[0]
+    cam = np.asarray(prob.obs.cam_idx)
+    pt_idx = np.full((C, n_slots), P, np.int32)
+    target = np.zeros((C, n_slots, 3), np.float32)
+    inv_s2 = np.ones((C, n_slots), np.float32)
+    stereo = np.zeros((C, n_slots), bool)
+    valid = np.zeros((C, n_slots), bool)
+    fill = np.zeros(C, np.int32)
+    for o in range(cam.shape[0]):
+        if not bool(prob.obs.valid[o]):
+            continue
+        c = int(cam[o])
+        s = fill[c]
+        fill[c] += 1
+        pt_idx[c, s] = int(prob.obs.pt_idx[o])
+        target[c, s] = np.asarray(prob.obs.target[o])
+        inv_s2[c, s] = float(prob.obs.inv_sigma2[o])
+        stereo[c, s] = bool(prob.obs.is_stereo[o])
+        valid[c, s] = True
+    return ba.BAWindow(
+        poses=prob.poses, points=prob.points, pt_idx=jnp.asarray(pt_idx),
+        target=jnp.asarray(target), inv_sigma2=jnp.asarray(inv_s2),
+        is_stereo=jnp.asarray(stereo), valid=jnp.asarray(valid),
+        cam_fixed=prob.cam_fixed, K=prob.K, bf=prob.bf,
+    )
+
+
+class TestWindowBA:
+    """The structured camera-major window solver (ba.BAWindow) must agree
+    with the COO path — same math, TPU-friendly layout."""
+
+    def test_reduces_error_like_coo(self, rng):
+        poses, pts = synth_scene(rng)
+        obs = make_obs(poses, pts, 0.3, rng, stereo=True)
+        C = poses.shape[0]
+        poses_n = lie.se3_exp(
+            jnp.asarray(
+                np.concatenate(
+                    [np.zeros((2, 6)), rng.normal(0, 0.02, (C - 2, 6))]
+                ).astype(np.float32)
+            )
+        ) @ poses
+        pts_n = pts + jnp.asarray(rng.normal(0, 0.05, pts.shape).astype(np.float32))
+        fixed = jnp.asarray(np.array([True, True] + [False] * (C - 2)))
+        prob = ba.BAProblem(poses=poses_n, points=pts_n, obs=obs, cam_fixed=fixed, K=K, bf=BF)
+        win = coo_to_window(prob, n_slots=pts.shape[0])
+        win2, cost = ba.bundle_adjust_window(win)
+
+        e0 = float(jnp.linalg.norm(lie.se3_log(lie.se3_inverse(prob.poses) @ poses)))
+        e1 = float(jnp.linalg.norm(lie.se3_log(lie.se3_inverse(win2.poses) @ poses)))
+        assert e1 < 0.25 * e0
+        assert np.isfinite(float(cost))
+        # Fixed cameras bit-identical.
+        np.testing.assert_allclose(win2.poses[:2], prob.poses[:2], atol=1e-6)
+
+    def test_step_matches_dense_normal_equations(self, rng):
+        """One damped GN step of the window solver vs the full dense
+        (6C+3P) normal equations in f64."""
+        poses, pts = synth_scene(rng, n_pts=30, n_cams=3)
+        obs = make_obs(poses, pts, 0.5, rng, stereo=True)
+        C, P = 3, 30
+        poses_n = lie.se3_exp(jnp.asarray(rng.normal(0, 0.01, (C, 6)).astype(np.float32))) @ poses
+        pts_n = pts + jnp.asarray(rng.normal(0, 0.02, pts.shape).astype(np.float32))
+        fixed = jnp.zeros(C, bool)
+        prob = ba.BAProblem(poses=poses_n, points=pts_n, obs=obs, cam_fixed=fixed, K=K, bf=BF)
+        win = coo_to_window(prob, n_slots=P)
+
+        slot_of = ba._window_slot_of(win)
+        r, Jc, Jp, _ = ba._window_eval(win.poses, win.points, win, with_jac=True)
+        chi2 = ba._window_chi2(r, win)
+        w = win.inv_sigma2 * win.valid
+        lam = jnp.float32(1e-4)
+        dx_cam, dx_pt = ba._window_schur_step(win, slot_of, r, Jc, Jp, w, lam)
+
+        # Dense reference from the COO layout (matches TestSchurEquivalence).
+        inlier = prob.obs.valid.astype(jnp.float32)
+        rc, Jcc, Jpc, wc, *_ = ba._build_system(prob, False, inlier)
+        r64 = np.asarray(rc, np.float64)
+        Jc64 = np.asarray(Jcc, np.float64)
+        Jp64 = np.asarray(Jpc, np.float64)
+        w64 = np.asarray(wc, np.float64)
+        O = r64.shape[0]
+        n = 6 * C + 3 * P
+        J = np.zeros((O * 3, n))
+        for o in range(O):
+            c, p = int(obs.cam_idx[o]), int(obs.pt_idx[o])
+            J[o * 3 : o * 3 + 3, c * 6 : c * 6 + 6] = Jc64[o]
+            J[o * 3 : o * 3 + 3, 6 * C + p * 3 : 6 * C + p * 3 + 3] = Jp64[o]
+        W = np.repeat(w64, 3)
+        H = J.T @ (J * W[:, None])
+        g = J.T @ (r64.reshape(-1) * W)
+        H_d = H + float(lam) * np.diag(np.diag(H)) + 1e-8 * np.eye(n)
+        dx = np.linalg.solve(H_d, -g)
+        np.testing.assert_allclose(
+            np.asarray(dx_cam).reshape(-1), dx[: 6 * C], rtol=0.05, atol=5e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(dx_pt).reshape(-1), dx[6 * C :], rtol=0.05, atol=5e-4
+        )
+
+
 class TestSchurEquivalence:
     def test_matches_dense_gauss_newton(self, rng):
         """The matrix-free Schur-PCG camera step must match the dense normal
