@@ -125,17 +125,58 @@ class TestVocabTextIO:
         )
 
     def test_truncated_deeper_tree(self, tmp_path, rng):
-        """An L=5 text vocab imports at depth 4 with tf-idf mass preserved."""
-        # Build a small synthetic L=5 text file: complete 2 levels from
-        # trained data then hand-extend one branch.
-        descs = rng.integers(0, 2**32, (300, 8), dtype=np.uint32)
-        voc_npz = vocab.train_vocabulary(descs, rng)
-        path = tmp_path / "voc4.txt"
-        vocab.export_dbow2_text(voc_npz, path)
+        """A hand-written depth-5 (> LEVELS=4) incomplete text vocab imports
+        truncated to depth 4: depth-4 ancestors absorb descendant leaf
+        weights, a shallow depth-2 leaf is replicated down, node_valid masks
+        the holes, and descent routes every descriptor to a valid word."""
+        lines = []
+        node_id = 0
+
+        def emit(parent, leaf, byts, weight):
+            nonlocal node_id
+            node_id += 1
+            lines.append(
+                f"{parent} {int(leaf)} "
+                + " ".join(str(int(b)) for b in byts) + f" {weight}"
+            )
+            return node_id
+
+        d_a = np.zeros(32, np.uint8)          # all-zero descriptor
+        d_b = np.full(32, 255, np.uint8)      # all-one descriptor
+        d_mid = np.r_[np.full(16, 255, np.uint8), np.zeros(16, np.uint8)]
+
+        # Branch A: chain to depth 5 — two depth-5 leaves under one depth-4
+        # node; their weights must merge into that node's word slot.
+        a1 = emit(0, 0, d_a, 0.0)             # depth 1
+        a2 = emit(a1, 0, d_a, 0.0)            # depth 2
+        a3 = emit(a2, 0, d_a, 0.0)            # depth 3
+        a4 = emit(a3, 0, d_a, 0.0)            # depth 4 -> truncation word
+        emit(a4, 1, d_a, 0.25)                # depth 5 leaf
+        emit(a4, 1, d_mid, 0.5)               # depth 5 leaf (sibling)
+        # Branch B: shallow leaf at depth 2 -> replicated down to depth 4.
+        b1 = emit(0, 0, d_b, 0.0)             # depth 1, rank 1
+        emit(b1, 1, d_b, 2.0)                 # depth 2 LEAF (shallow)
+
+        path = tmp_path / "voc5.txt"
+        path.write_text("10 5 0 0\n" + "\n".join(lines) + "\n")
         imported = vocab.import_dbow2_text(path)
+
+        # Incomplete-tree masking present, tf-idf mass preserved exactly.
+        assert imported.node_valid, "expected node_valid masks for holes"
         total = float(np.asarray(imported.word_weight).sum())
-        native_total = float(np.asarray(voc_npz["word_weight"]).sum())
-        assert abs(total - native_total) / max(native_total, 1e-9) < 1e-5
+        assert abs(total - 2.75) < 1e-6
+        # Word slots: branch A = slot 0 chain (rank 0 everywhere) with merged
+        # weight; branch B leaf at depth-2 slot 10 -> depth-4 slot 10*100.
+        w = np.asarray(imported.word_weight)
+        assert abs(w[0] - 0.75) < 1e-6
+        assert abs(w[10 * 100] - 2.0) < 1e-6
+        # Descent only reaches valid nodes: an all-one query lands on the
+        # replicated branch-B word, an all-zero query on branch A's word.
+        q = np.stack([np.zeros(256, np.float32) - 1, np.zeros(256, np.float32) + 1])
+        words = np.asarray(vocab.assign_words(imported, jnp.asarray(q, jnp.bfloat16)))
+        assert words[0] == 0 and words[1] == 10 * 100
+        valid_words = np.nonzero(np.asarray(imported.node_valid[-1]))[0]
+        assert set(words.tolist()) <= set(valid_words.tolist())
 
 
 class TestEurocLoader:
@@ -156,12 +197,27 @@ class TestEurocLoader:
             "#ts,x,y,z,qw,qx,qy,qz\n"
             "1403636579763555584,1.0,2.0,3.0,1.0,0.0,0.0,0.0\n"
         )
+        # Known body->cam0 extrinsic: 90° about z plus an offset. The loader
+        # must return camera (not body) poses: Twc = T_WB @ T_BS.
+        T_BS = np.array(
+            [[0.0, -1.0, 0.0, 0.1],
+             [1.0, 0.0, 0.0, 0.2],
+             [0.0, 0.0, 1.0, -0.3],
+             [0.0, 0.0, 0.0, 1.0]]
+        )
+        (root / "mav0" / "cam0" / "sensor.yaml").write_text(
+            "sensor_type: camera\nT_BS:\n  cols: 4\n  rows: 4\n  data: ["
+            + ", ".join(str(v) for v in T_BS.reshape(-1)) + "]\n"
+        )
         pairs, gt = datasets.load_euroc_stereo(root)
         assert len(pairs) == 5
         assert pairs[0]["left"].name == pairs[0]["right"].name
         assert len(gt) == 1
         Twc = next(iter(gt.values()))
-        np.testing.assert_allclose(Twc[:3, 3], [1.0, 2.0, 3.0])
+        # T_WB is identity rotation at [1,2,3], so Twc == translate+T_BS.
+        expected = np.eye(4)
+        expected[:3, 3] = [1.0, 2.0, 3.0]
+        np.testing.assert_allclose(Twc, expected @ T_BS, atol=1e-6)
 
 
 class TestGraphExport:
