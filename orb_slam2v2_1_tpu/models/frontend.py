@@ -259,17 +259,24 @@ def insert_keyframe_fused(
     key: jax.Array,
 ):
     """Full keyframe-insertion pipeline in one dispatch: append, depth
-    densification, cull, triangulate, fuse, stats, local BA."""
+    densification, point cull, triangulate, fuse, stats, local BA, keyframe
+    cull (the LocalMapping::Run body order, src/LocalMapping.cc:47-120).
+
+    Returns (state, kf_id, cost, victim, victim_parent, T_redirect): victim
+    is the erased redundant keyframe's slot (-1 if none) so the host can
+    rewrite trajectory references (see local_mapping.cull_keyframes)."""
     from . import local_mapping
-    from .map_state import _update_mp_stats_jit
+    from .map_state import refresh_covis, update_mp_stats_window
 
     state, kf_id = _append_keyframe_body(state, frame, K, bf, depth_limit)
     state = local_mapping.cull_map_points(state, kf_id)
     state = local_mapping.create_map_points(state, kf_id, K, bf, key)
     state = local_mapping.fuse_map_points(state, kf_id, K, bf)
-    state = _update_mp_stats_jit(state)
+    state = update_mp_stats_window(state, kf_id)
     state, cost = local_mapping.local_bundle_adjustment_impl(state, kf_id, K, bf)
-    return state, kf_id, cost
+    state, victim, vparent, T_redirect = local_mapping.cull_keyframes(state, kf_id)
+    state = refresh_covis(state)
+    return state, kf_id, cost, victim, vparent, T_redirect
 
 
 # ---------------------------------------------------------------------------
@@ -317,12 +324,13 @@ def mapping_pipeline(
     `allow_ba=False` is the mbAbortBA path (src/LocalMapping.cc:126): a newer
     keyframe is waiting, skip the expensive solve and catch up."""
     from . import local_mapping
-    from .map_state import _update_mp_stats_jit
+    from .map_state import refresh_covis, update_mp_stats_window
 
     state = local_mapping.cull_map_points(state, kf_id)
     state = local_mapping.create_map_points(state, kf_id, K, bf, key)
     state = local_mapping.fuse_map_points(state, kf_id, K, bf)
-    state = _update_mp_stats_jit(state)
+    state = update_mp_stats_window(state, kf_id)
     if allow_ba:
         state, _ = local_mapping.local_bundle_adjustment_impl(state, kf_id, K, bf)
-    return state
+    state, victim, vparent, T_redirect = local_mapping.cull_keyframes(state, kf_id)
+    return refresh_covis(state), victim, vparent, T_redirect

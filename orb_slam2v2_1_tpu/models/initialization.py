@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import lie, matching, twoview
-from .map_state import MapState, append_keyframe, update_mp_stats
+from .map_state import MapState, append_keyframe, refresh_covis, update_mp_stats
 from .tracking import FrameData
 
 
@@ -92,7 +92,7 @@ def create_initial_map_mono(
         state, T1, cur.frame_id, cur.xy, cur.level, cur.angle, cur.desc,
         cur.kp_valid, cur.ur, mp1,
     )
-    state = update_mp_stats(state)
+    state = refresh_covis(update_mp_stats(state))
     return state, T1, kf0, kf1, n_new
 
 
@@ -125,5 +125,5 @@ def create_initial_map_depth(state: MapState, frame: FrameData, K: jax.Array):
         state, jnp.eye(4), frame.frame_id, frame.xy, frame.level, frame.angle,
         frame.desc, frame.kp_valid, frame.ur, mp0,
     )
-    state = update_mp_stats(state)
+    state = refresh_covis(update_mp_stats(state))
     return state, kf0, state.n_mp

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import hamming, vocab
-from .map_state import MapState, covisibility
+from .map_state import MapState
 
 
 class BowDatabase(NamedTuple):
@@ -66,7 +66,9 @@ def detect_loop_candidates(
     exclude the query's covisible neighborhood and must beat min_score = the
     lowest BoW similarity to a covisible neighbor.
     """
-    C = covisibility(state)
+    # Cached covisibility: loop detection runs right after an insertion
+    # round, where the cache was just refreshed.
+    C = state.covis
     covis = C[query_kf] > 0  # connected keyframes
     q = db.vectors[query_kf]
     scores = vocab.bow_scores(q, db.vectors)

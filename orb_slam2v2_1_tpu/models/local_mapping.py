@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops import ba, hamming, matching
 from ..ops.triangulate import triangulate, projection_matrix
-from .map_state import MapState, covisibility, mp_observation_count
+from .map_state import MapState, mp_observation_count, row_covisibility
 from .tracking import INV_LEVEL_SIGMA2, N_LEVELS, SCALE
 
 TRI_NEIGHBORS = 10  # mono uses 20, stereo 10 (src/LocalMapping.cc:219)
@@ -54,8 +54,8 @@ def create_map_points(
     del key
     N = state.kf_xy.shape[1]
     M = state.mp_pos.shape[0]
-    C = covisibility(state)
-    neigh_w, neigh_idx = jax.lax.top_k(C[kf_id], TRI_NEIGHBORS)
+    row = row_covisibility(state, kf_id)
+    neigh_w, neigh_idx = jax.lax.top_k(row, TRI_NEIGHBORS)
 
     good, X, m_idx = jax.vmap(
         lambda n_kf, w: _triangulate_candidates(state, kf_id, n_kf, w > 0, K, bf)
@@ -86,6 +86,11 @@ def create_map_points(
         .at[slot]
         .set(jnp.broadcast_to(kf_id, slot.shape))[:M]
     )
+    mp_first_seq = (
+        jnp.concatenate([state.mp_first_seq, jnp.zeros(1, jnp.int32)])
+        .at[slot]
+        .set(jnp.broadcast_to(state.kf_seq[kf_id], slot.shape))[:M]
+    )
     mp_vis = jnp.concatenate([state.mp_visible, jnp.zeros(1, jnp.int32)]).at[slot].set(1)[:M]
     mp_found = jnp.concatenate([state.mp_found, jnp.zeros(1, jnp.int32)]).at[slot].set(1)[:M]
 
@@ -108,6 +113,7 @@ def create_map_points(
         mp_valid=mp_valid,
         mp_desc=mp_desc,
         mp_first_kf=mp_first,
+        mp_first_seq=mp_first_seq,
         mp_visible=mp_vis,
         mp_found=mp_found,
         kf_mp=kf_mp,
@@ -263,6 +269,9 @@ def create_depth_points(state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax
         mp_first_kf=jnp.concatenate([state.mp_first_kf, jnp.zeros(1, jnp.int32)])
         .at[slot]
         .set(jnp.broadcast_to(kf_id, slot.shape))[:M],
+        mp_first_seq=jnp.concatenate([state.mp_first_seq, jnp.zeros(1, jnp.int32)])
+        .at[slot]
+        .set(jnp.broadcast_to(state.kf_seq[kf_id], slot.shape))[:M],
         mp_visible=jnp.concatenate([state.mp_visible, jnp.zeros(1, jnp.int32)]).at[slot].set(1)[:M],
         mp_found=jnp.concatenate([state.mp_found, jnp.zeros(1, jnp.int32)]).at[slot].set(1)[:M],
         kf_mp=state.kf_mp.at[kf_id].set(jnp.where(ok, slot, state.kf_mp[kf_id])),
@@ -341,8 +350,8 @@ def fuse_map_points(state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax.Arr
     N = state.kf_xy.shape[1]
     M = state.mp_pos.shape[0]
     T = TRI_NEIGHBORS
-    C = covisibility(state)
-    neigh_w, neigh_idx = jax.lax.top_k(C[kf_id], T)
+    row = row_covisibility(state, kf_id)
+    neigh_w, neigh_idx = jax.lax.top_k(row, T)
     pair_ok = neigh_w > 0
 
     # Direction A: new KF's points -> each neighbor (dst rows independent).
@@ -432,7 +441,7 @@ def cull_map_points(state: MapState, current_kf: jax.Array):
     found_ratio = state.mp_found.astype(jnp.float32) / jnp.maximum(
         state.mp_visible.astype(jnp.float32), 1.0
     )
-    age = current_kf - state.mp_first_kf
+    age = state.kf_seq[current_kf] - state.mp_first_seq
     bad = (found_ratio < 0.25) | ((age >= 2) & (obs <= 2))
     # Only recent points are subject to the obs test; mature points survive
     # (reference stops testing after 3 KFs).
@@ -447,32 +456,50 @@ def cull_map_points(state: MapState, current_kf: jax.Array):
 
 @partial(jax.jit, donate_argnames=("state",))
 def cull_keyframes(state: MapState, kf_id: jax.Array):
-    """KeyFrameCulling (src/LocalMapping.cc:640-704): a local keyframe is
-    redundant if >=90% of its map points are observed by >=3 other keyframes
-    at the same or finer scale. Checks the new KF's covisible neighbors; KF0
-    and the newest KF are never culled."""
+    """KeyFrameCulling + SetBadFlag erase (src/LocalMapping.cc:640-704,
+    src/KeyFrame.cc:432-546): a local keyframe is redundant if >=90% of its
+    map points are observed by >=3 other keyframes at the same or finer
+    scale. The victim (newest redundant, at most one per round) is ERASED —
+    its observations cleared, its slot returned to the free list for reuse
+    by `append_keyframe`, and its spanning-tree children re-parented to
+    their best covisible older keyframe (SetBadFlag's re-parent loop,
+    src/KeyFrame.cc:486-536, with the candidate set restricted by kf_seq
+    ordering, which guarantees acyclicity).
+
+    Returns (state, victim, parent, T_redirect): victim == -1 when nothing
+    was culled; otherwise `T_redirect = Tcw_victim @ Twc_parent` lets the
+    host rewrite trajectory entries referencing the victim onto its parent
+    (the SaveTrajectory spanning-tree chain, src/System.cc:610-629).
+    """
+    from ..ops import lie
+
     Kn, N = state.kf_mp.shape
     M = state.mp_pos.shape[0]
 
-    # obs count per (point, at-or-finer level): for each observation
-    # (k, slot) of point p at level l, it supports culling of an observation
-    # at level l' >= l... The reference counts observers with level <=
-    # level_in_candidate+1. We approximate with a per-point observer count at
-    # min level <= candidate level + 1 using two segment counts.
+    # The reference counts observers with level <= level_in_candidate+1. We
+    # approximate with a per-point observer count + per-point min observation
+    # level via two segment reductions.
     flat_mp = jnp.where(
         state.kf_kp_valid & (state.kf_mp >= 0) & state.kf_valid[:, None],
         state.kf_mp, M,
     )
     lvl = state.kf_level
-    # Per-point total observers and per-point min observation level.
     counts = jnp.zeros(M + 1, jnp.int32).at[flat_mp.reshape(-1)].add(1)[:M]
     min_lvl = jnp.full(M + 1, 99, jnp.int32).at[flat_mp.reshape(-1)].min(
         lvl.reshape(-1)
     )[:M]
 
-    C = covisibility(state)
-    cand_mask = (C[kf_id] > 0) & state.kf_valid
-    cand_mask = cand_mask.at[0].set(False).at[kf_id].set(False)
+    row = row_covisibility(state, kf_id)
+    # Roots (parent -1, i.e. the map origin) and the current KF never die;
+    # neither does any keyframe carrying a loop edge (the reference's
+    # mspLoopEdges guard in SetBadFlag, src/KeyFrame.cc:443-455).
+    cand_mask = (row > 0) & state.kf_valid & (state.kf_parent >= 0)
+    cand_mask = cand_mask.at[kf_id].set(False)
+    le = state.loop_edges.reshape(-1)
+    on_loop = (
+        jnp.zeros(Kn + 1, bool).at[jnp.where(le >= 0, le, Kn)].set(True)[:Kn]
+    )
+    cand_mask = cand_mask & ~on_loop
 
     def redundant(k):
         mp = state.kf_mp[k]
@@ -485,12 +512,42 @@ def cull_keyframes(state: MapState, kf_id: jax.Array):
         return n_red.astype(jnp.float32) > 0.9 * n_pts.astype(jnp.float32)
 
     red = jax.vmap(redundant)(jnp.arange(Kn)) & cand_mask
-    # Cull at most one KF per call (the newest redundant) to keep the
-    # spanning chain healthy.
     any_red = jnp.any(red)
-    victim = jnp.argmax(jnp.where(red, jnp.arange(Kn), -1))
-    kf_valid = jnp.where(any_red, state.kf_valid.at[victim].set(False), state.kf_valid)
-    return state._replace(kf_valid=kf_valid)
+    victim = jnp.argmax(jnp.where(red, state.kf_seq, -1)).astype(jnp.int32)
+    parent = state.kf_parent[victim]
+    T_redirect = state.kf_pose[victim] @ lie.se3_inverse(
+        state.kf_pose[jnp.maximum(parent, 0)]
+    )
+
+    # Re-parent the victim's children: best covisible older keyframe
+    # (kf_seq ordering keeps the tree acyclic); fall back to the victim's
+    # own parent. Uses the cached covisibility — staleness of one round only
+    # affects tie quality, not correctness.
+    child = state.kf_valid & (state.kf_parent == victim)
+    elig = (
+        state.kf_valid[None, :]
+        & (state.kf_seq[None, :] < state.kf_seq[:, None])
+        & (jnp.arange(Kn)[None, :] != victim)
+    )
+    score = jnp.where(elig, state.covis, -1)
+    best = jnp.argmax(score, axis=1).astype(jnp.int32)
+    has_best = jnp.max(score, axis=1) > 0
+    new_parent = jnp.where(
+        child & any_red,
+        jnp.where(has_best, best, parent),
+        state.kf_parent,
+    )
+
+    vic = jnp.where(any_red, victim, Kn)  # park no-op writes out of range
+    state = state._replace(
+        kf_valid=state.kf_valid.at[vic].set(False, mode="drop"),
+        kf_kp_valid=state.kf_kp_valid.at[vic].set(False, mode="drop"),
+        kf_mp=state.kf_mp.at[vic].set(-1, mode="drop"),
+        kf_seq=state.kf_seq.at[vic].set(-1, mode="drop"),
+        kf_parent=new_parent.at[vic].set(-1, mode="drop"),
+    )
+    victim_out = jnp.where(any_red, victim, -1)
+    return state, victim_out, parent, T_redirect
 
 
 class LocalBAIndex(NamedTuple):
@@ -516,8 +573,8 @@ def local_bundle_adjustment_impl(state: MapState, kf_id: jax.Array, K: jax.Array
     M = state.mp_pos.shape[0]
     P = min(BA_PTS, M)
 
-    C = covisibility(state)
-    w = C[kf_id].at[kf_id].set(1 << 20)  # ensure self in window
+    row = row_covisibility(state, kf_id)
+    w = row.at[kf_id].set(1 << 20)  # ensure self in window
     w = jnp.where(state.kf_valid, w, -1)
     free_w, free_idx = jax.lax.top_k(w, min(BA_CAMS, Kmax))
     free_mask = jnp.zeros(Kmax, bool).at[free_idx].set(free_w > 0)
@@ -556,7 +613,8 @@ def local_bundle_adjustment_impl(state: MapState, kf_id: jax.Array, K: jax.Array
     # map by tens of degrees over a run. Always fix the oldest camera in the
     # window. (Mono scale gauge is handled separately: median-depth
     # renormalization at init, and boundary KFs once the map matures.)
-    order_key = jnp.where(cam_used & ~cam_fixed, cam_kf, 1 << 20)
+    # Oldest by insertion sequence — slot ids are reused and unordered.
+    order_key = jnp.where(cam_used & ~cam_fixed, state.kf_seq[cam_kf], 1 << 20)
     anchor = jnp.argsort(order_key)[:1]
     cam_fixed = cam_fixed.at[anchor].set(True)
 

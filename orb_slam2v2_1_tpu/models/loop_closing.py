@@ -22,9 +22,6 @@ from ..ops import ba, hamming, lie, matching, pose_graph, sim3solver
 from .map_state import MapState, covisibility
 from .tracking import INV_LEVEL_SIGMA2, N_LEVELS, SCALE
 
-GBA_CAMS = 128
-GBA_PTS = 16384
-GBA_OBS = 65536
 MIN_SIM3_MATCHES = 20  # reference accepts >=20 optimized inliers (src/LoopClosing.cc:339)
 MIN_TOTAL_MATCHES = 40  # + >=40 after guided projection (src/LoopClosing.cc:395)
 
@@ -77,31 +74,91 @@ def compute_sim3(
     state: MapState, kf_cur: jax.Array, kf_cand: jax.Array, K: jax.Array,
     key: jax.Array, fix_scale: bool = True,
 ):
-    """ComputeSim3 for one candidate (src/LoopClosing.cc:241-410): match
-    map points, Horn RANSAC, then a guided wider search for total support."""
+    """ComputeSim3 for one candidate (src/LoopClosing.cc:241-410): match map
+    points, Horn RANSAC, widen with mutual SearchBySim3 matches
+    (src/ORBmatcher.cc:1104-1328), refine with OptimizeSim3 (>=20 inliers,
+    src/LoopClosing.cc:333-339), then a guided wider search for total
+    support (>=40, :385-395)."""
     m = match_keyframes(state, kf_cur, kf_cand)
     N = state.kf_xy.shape[1]
 
     pose_c = state.kf_pose[kf_cur]
     pose_l = state.kf_pose[kf_cand]
+    has_c = (state.kf_mp[kf_cur] >= 0) & state.kf_kp_valid[kf_cur]
+    has_l_row = (state.kf_mp[kf_cand] >= 0) & state.kf_kp_valid[kf_cand]
     mp_c = jnp.maximum(state.kf_mp[kf_cur], 0)
     mp_l = jnp.maximum(state.kf_mp[kf_cand][m.idx], 0)
     # 3-D positions in each camera frame.
-    p1 = (state.mp_pos[mp_c] @ pose_c[:3, :3].T) + pose_c[:3, 3]
-    p2 = (state.mp_pos[mp_l] @ pose_l[:3, :3].T) + pose_l[:3, 3]
+    p1_all = (state.mp_pos[mp_c] @ pose_c[:3, :3].T) + pose_c[:3, 3]
+    p2_row = (
+        state.mp_pos[jnp.maximum(state.kf_mp[kf_cand], 0)] @ pose_l[:3, :3].T
+    ) + pose_l[:3, 3]  # (N,) candidate-slot-major
+    p1 = p1_all
+    p2 = p2_row[m.idx]
     uv1 = state.kf_xy[kf_cur]
     uv2 = state.kf_xy[kf_cand][m.idx]
     s2_1 = SCALE ** (2 * state.kf_level[kf_cur].astype(jnp.float32))
-    s2_2 = SCALE ** (2 * state.kf_level[kf_cand][m.idx].astype(jnp.float32))
+    s2_2_row = SCALE ** (2 * state.kf_level[kf_cand].astype(jnp.float32))
+    s2_2 = s2_2_row[m.idx]
 
     res = sim3solver.sim3_ransac(
         p1, p2, uv1, uv2, s2_1, s2_2, m.ok, K, key, fix_scale=fix_scale
     )
 
+    # --- SearchBySim3 (src/ORBmatcher.cc:1104-1328): widen the match set
+    # with pairs that agree MUTUALLY under the RANSAC S12 ---
+    S12_r = res.S12
+    S21_r = lie.sim3_inverse(S12_r)
+    d_cur = hamming.unpack_pm1(state.kf_desc[kf_cur])
+    d_cand = hamming.unpack_pm1(state.kf_desc[kf_cand])
+
+    def proj2(p, S):
+        pc = (p @ S[:3, :3].T) + S[:3, 3]
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        return (
+            jnp.stack([K[0] * pc[:, 0] / z + K[2], K[1] * pc[:, 1] / z + K[3]], -1),
+            pc[:, 2] > 0,
+        )
+
+    # A: candidate's points into the current image.
+    uvA, frontA = proj2(p2_row, S12_r)
+    mA = matching.match_projection(
+        q_desc=d_cand, q_xy_pred=uvA,
+        q_level_pred=state.kf_level[kf_cand],
+        q_valid=has_l_row & frontA,
+        t_desc=d_cur, t_xy=state.kf_xy[kf_cur],
+        t_level=state.kf_level[kf_cur], t_valid=state.kf_kp_valid[kf_cur],
+        radius=7.5 * SCALE ** state.kf_level[kf_cand].astype(jnp.float32),
+        max_dist=matching.TH_HIGH, nn_ratio=1.0,
+    )
+    # B: current's points into the candidate image.
+    uvB, frontB = proj2(p1_all, S21_r)
+    mB = matching.match_projection(
+        q_desc=d_cur, q_xy_pred=uvB,
+        q_level_pred=state.kf_level[kf_cur],
+        q_valid=has_c & frontB,
+        t_desc=d_cand, t_xy=state.kf_xy[kf_cand],
+        t_level=state.kf_level[kf_cand], t_valid=state.kf_kp_valid[kf_cand],
+        radius=7.5 * SCALE ** state.kf_level[kf_cur].astype(jnp.float32),
+        max_dist=matching.TH_HIGH, nn_ratio=1.0,
+    )
+    # Mutual agreement (the reference's bInKF1 && bInKF2 check).
+    iota = jnp.arange(N)
+    mutual = mB.ok & mA.ok[mB.idx] & (mA.idx[mB.idx] == iota)
+    m2_idx = jnp.where(m.ok, m.idx, mB.idx)
+    m2_ok = m.ok | (mutual & has_l_row[mB.idx])
+
+    # --- OptimizeSim3 over the widened match set ---
+    S12_opt, inl, n_inl = sim3solver.optimize_sim3(
+        p1_all, p2_row[m2_idx], uv1, state.kf_xy[kf_cand][m2_idx],
+        1.0 / s2_1, 1.0 / s2_2_row[m2_idx], m2_ok, S12_r, K,
+        fix_scale=fix_scale,
+    )
+
     # Guided wider support: project the candidate's map points into the
-    # current KF through S12 and count descriptor agreements
+    # current KF through the OPTIMIZED S12 and count descriptor agreements
     # (SearchByProjection Sim3 overload, src/ORBmatcher.cc:290-403).
-    S12 = res.S12
+    S12 = S12_opt
     mp_l_all = state.kf_mp[kf_cand]
     has_l = (mp_l_all >= 0) & state.kf_kp_valid[kf_cand]
     p_l_cam = (state.mp_pos[jnp.maximum(mp_l_all, 0)] @ pose_l[:3, :3].T) + pose_l[:3, 3]
@@ -126,10 +183,13 @@ def compute_sim3(
         level_hi=1,
     )
     n_total = jnp.sum(mm.ok.astype(jnp.int32))
-    success = res.success & (res.n_inliers >= MIN_SIM3_MATCHES) & (
+    # Acceptance follows the reference cascade: the RANSAC must converge,
+    # the LM-refined Sim3 must keep >=20 inliers (src/LoopClosing.cc:339),
+    # and the guided projection must reach >=40 total (:395).
+    success = res.success & (n_inl >= MIN_SIM3_MATCHES) & (
         n_total >= MIN_TOTAL_MATCHES
     )
-    return success, S12, res.n_inliers, n_total
+    return success, S12, n_inl, n_total
 
 
 @partial(jax.jit, donate_argnames=("state",))
@@ -156,8 +216,29 @@ def correct_loop(
     se3 = lie.make_se3(R, t / s[:, None])
 
     # Correct map points through their reference KF: p' = T_new^-1 S_old p
-    # (src/LoopClosing.cc:484-504, using mp_first_kf as the reference).
-    ref = jnp.clip(state.mp_first_kf, 0, Kn - 1)
+    # (src/LoopClosing.cc:484-504). The reference keyframe is DERIVED as the
+    # oldest live observer (slot ids are reused after culling, so the stored
+    # mp_first_kf slot may now hold an unrelated keyframe).
+    M = state.mp_pos.shape[0]
+    flat_mp = jnp.where(
+        state.kf_kp_valid & (state.kf_mp >= 0) & state.kf_valid[:, None],
+        state.kf_mp,
+        M,
+    )
+    # Per-point min over observers of (kf_seq * K + slot): decodes to the
+    # oldest observer's slot id.
+    comb = (
+        state.kf_seq[:, None].astype(jnp.int32) * Kn
+        + jnp.arange(Kn, dtype=jnp.int32)[:, None]
+    )
+    comb = jnp.broadcast_to(comb, flat_mp.shape)
+    big = jnp.int32(2**31 - 1)
+    ref_comb = (
+        jnp.full(M + 1, big, jnp.int32)
+        .at[flat_mp.reshape(-1)]
+        .min(comb.reshape(-1))[:M]
+    )
+    ref = jnp.where(ref_comb < big, ref_comb % Kn, 0)
     T_old = old_poses[ref]
     T_new = se3[ref]
     p_cam = jnp.einsum("mij,mj->mi", T_old[:, :3, :3], state.mp_pos) + T_old[:, :3, 3]
@@ -166,71 +247,185 @@ def correct_loop(
     mp_pos = jnp.where(state.mp_valid[:, None], p_new, state.mp_pos)
 
     kf_pose = jnp.where(state.kf_valid[:, None, None], lie.orthonormalize(se3), state.kf_pose)
-    return state._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+
+    # Record the loop edge persistently (KeyFrame::AddLoopEdge,
+    # src/LoopClosing.cc:572-574); the ring buffer overwrites the oldest
+    # once LOOP_EDGE_CAP closures accumulate.
+    cap = state.loop_edges.shape[0]
+    slot = state.n_loop_edges % cap
+    loop_edges = state.loop_edges.at[slot].set(
+        jnp.stack([kf_cur, kf_loop]).astype(jnp.int32)
+    )
+    return state._replace(
+        kf_pose=kf_pose,
+        mp_pos=mp_pos,
+        loop_edges=loop_edges,
+        n_loop_edges=state.n_loop_edges + 1,
+    )
+
+
+LOOP_FUSE_KFS = 16  # corrected neighborhood size (mvpCurrentConnectedKFs)
+LOOP_MP_CAP = 4096  # loop-side point set capacity (mvpLoopMapPoints)
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def search_and_fuse(
+    state: MapState, kf_cur: jax.Array, kf_loop: jax.Array, K: jax.Array
+):
+    """Loop fusion (LoopClosing::SearchAndFuse + the CorrectLoop merge pass,
+    src/LoopClosing.cc:453-551,596-622): project the loop side's map points
+    into the corrected keyframes (the current KF's covisible group) and
+    merge duplicates — the loop point always wins (pRep->Replace, :617).
+
+    Runs AFTER the essential-graph correction, so plain pinhole projection
+    with the corrected SE3 poses is the right model. All target keyframes
+    fuse in parallel against the same snapshot; the merge map is applied in
+    one pass (same strategy as local_mapping.fuse_map_points).
+    """
+    Kn, N = state.kf_mp.shape
+    M = state.mp_pos.shape[0]
+    from ..ops.projection import project as project_pts
+
+    # Corrected neighborhood: the current KF + its best covisible keyframes.
+    w = state.covis[kf_cur].at[kf_cur].set(1 << 20)
+    w = jnp.where(state.kf_valid, w, -1)
+    tgt_w, tgt_kfs = jax.lax.top_k(w, min(LOOP_FUSE_KFS, Kn))
+    tgt_ok = tgt_w > 0
+
+    # Loop-side points: observed by the loop KF's covisible group.
+    grp = (state.covis[kf_loop] > 0) | (jnp.arange(Kn) == kf_loop)
+    mp_in = jnp.where(
+        (state.kf_mp >= 0) & state.kf_kp_valid & grp[:, None], state.kf_mp, M
+    )
+    lp_mask = jnp.zeros(M + 1, bool).at[mp_in.reshape(-1)].set(True)[:M]
+    lp_mask = lp_mask & state.mp_valid
+    _, lp_sel = jax.lax.top_k(lp_mask.astype(jnp.int32), min(LOOP_MP_CAP, M))
+    lp_ok = lp_mask[lp_sel]
+    lp_pos = state.mp_pos[lp_sel]
+    lp_pm1 = hamming.unpack_pm1(state.mp_desc[lp_sel])
+
+    def fuse_one(dst_kf, dst_ok):
+        pose = state.kf_pose[dst_kf]
+        uv = project_pts(pose, lp_pos, K)
+        z = (pose[2, :3] @ lp_pos.T) + pose[2, 3]
+        cam_center = -pose[:3, :3].T @ pose[:3, 3]
+        dist = jnp.linalg.norm(lp_pos - cam_center, axis=-1)
+        in_band = (dist >= state.mp_min_dist[lp_sel]) & (
+            dist <= state.mp_max_dist[lp_sel]
+        )
+        ratio = state.mp_max_dist[lp_sel] / jnp.maximum(dist, 1e-9)
+        pred_level = jnp.clip(
+            jnp.ceil(
+                jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(SCALE)
+            ).astype(jnp.int32),
+            0,
+            N_LEVELS - 1,
+        )
+        # Skip points the target already observes.
+        dst_row = state.kf_mp[dst_kf]
+        dst_has = jnp.zeros(M + 1, bool).at[
+            jnp.where(dst_row >= 0, dst_row, M)
+        ].set(True)
+        q_ok = (
+            lp_ok
+            & dst_ok
+            & (z > 0)
+            & in_band
+            & ~dst_has[jnp.maximum(lp_sel, 0)]
+        )
+        mm = matching.match_projection(
+            q_desc=lp_pm1,
+            q_xy_pred=uv,
+            q_level_pred=pred_level,
+            q_valid=q_ok,
+            t_desc=hamming.unpack_pm1(state.kf_desc[dst_kf]),
+            t_xy=state.kf_xy[dst_kf],
+            t_level=state.kf_level[dst_kf],
+            t_valid=state.kf_kp_valid[dst_kf],
+            radius=4.0 * SCALE ** pred_level.astype(jnp.float32),
+            max_dist=matching.TH_LOW,
+            nn_ratio=1.0,
+        )
+        return mm.ok, mm.idx
+
+    okT, idxT = jax.vmap(fuse_one)(tgt_kfs, tgt_ok)  # (T, P) each
+
+    # Apply: where the target slot holds a point -> merge (loop point wins);
+    # where empty -> adopt the loop point.
+    rows = state.kf_mp[tgt_kfs]  # (T, N)
+    exist = jax.vmap(lambda row, idx: row[idx])(rows, idxT)  # (T, P)
+    lp_ids = jnp.broadcast_to(lp_sel[None, :], okT.shape)
+    add = okT & (exist < 0)
+    merge = okT & (exist >= 0) & (exist != lp_ids)
+    rows = jax.vmap(
+        lambda row, sel, idx, val: row.at[jnp.where(sel, idx, N)].set(
+            jnp.where(sel, val, -1), mode="drop"
+        )
+    )(rows, add, idxT, lp_ids)
+    kf_mp = state.kf_mp.at[tgt_kfs].set(rows)
+
+    # Merge map: the existing (duplicated) landmark is replaced by the loop
+    # landmark everywhere.
+    loser = jnp.where(merge, exist, -1).reshape(-1)
+    winner = jnp.where(merge, lp_ids, -1).reshape(-1)
+    rep = jnp.arange(M + 1, dtype=jnp.int32)
+    rep = rep.at[jnp.where(loser >= 0, loser, M)].set(
+        jnp.where(loser >= 0, winner, -1), mode="drop"
+    )[:M]
+    kf_mp = jnp.where(kf_mp >= 0, rep[jnp.maximum(kf_mp, 0)], kf_mp)
+    mp_valid = state.mp_valid & (rep == jnp.arange(M))
+    n_fused = jnp.sum(merge.astype(jnp.int32)) + jnp.sum(add.astype(jnp.int32))
+    return state._replace(kf_mp=kf_mp, mp_valid=mp_valid), n_fused
 
 
 @partial(jax.jit, donate_argnames=("state",))
 def global_bundle_adjustment(state: MapState, K: jax.Array, bf: jax.Array):
     """Whole-map BA (GlobalBundleAdjustemnt, src/Optimizer.cc:41-48: 10+10
-    iterations, KF0 fixed)."""
+    iterations, oldest keyframe fixed).
+
+    Covers EVERY live keyframe, point and observation — the problem is sized
+    by the map capacity itself (no silent truncation; the r2 fixed caps
+    dropped half the map past 128 keyframes). Invalid slots ride along as
+    zero-weight observations, which costs FLOPs the MXU has to spare."""
     Kmax, N = state.kf_mp.shape
     M = state.mp_pos.shape[0]
 
-    free_mask = state.kf_valid
-    _, cam_sel = jax.lax.top_k(free_mask.astype(jnp.int32), min(GBA_CAMS, Kmax))
-    cam_used = free_mask[cam_sel]
-    inv_cam = (
-        jnp.full(Kmax + 1, -1, jnp.int32)
-        .at[jnp.where(cam_used, cam_sel, Kmax)]
-        .set(jnp.arange(cam_sel.shape[0], dtype=jnp.int32))[:Kmax]
-    )
-    cam_fixed = (cam_sel == 0) | ~cam_used  # anchor KF0
+    # Camera slots map 1:1 (identity indexing — capacity IS the problem
+    # size); gauge anchor = oldest live keyframe by insertion sequence.
+    cam_used = state.kf_valid
+    seq_key = jnp.where(cam_used, state.kf_seq, jnp.int32(2**30))
+    anchor = jnp.argmin(seq_key)
+    cam_fixed = (jnp.arange(Kmax) == anchor) | ~cam_used
 
-    pt_mask = state.mp_valid
-    _, pt_sel = jax.lax.top_k(pt_mask.astype(jnp.int32), min(GBA_PTS, M))
-    pt_valid = pt_mask[pt_sel]
-    inv_pt = (
-        jnp.full(M + 1, -1, jnp.int32)
-        .at[jnp.where(pt_valid, pt_sel, M)]
-        .set(jnp.arange(pt_sel.shape[0], dtype=jnp.int32))[:M]
-    )
-
-    in_cam = inv_cam >= 0
     flat_ok = (
-        in_cam[:, None]
+        cam_used[:, None]
         & state.kf_kp_valid
         & (state.kf_mp >= 0)
-        & (inv_pt[jnp.maximum(state.kf_mp, 0)] >= 0)
-    ).reshape(-1)
-    _, obs_sel = jax.lax.top_k(flat_ok.astype(jnp.int32), min(GBA_OBS, Kmax * N))
-    obs_valid = flat_ok[obs_sel]
-    ok_kf = obs_sel // N
-    ok_slot = obs_sel % N
-
+        & state.mp_valid[jnp.maximum(state.kf_mp, 0)]
+    )
+    kf_iota = jax.lax.broadcasted_iota(jnp.int32, (Kmax, N), 0)
     obs = ba.Obs(
-        cam_idx=inv_cam[ok_kf].clip(0),
-        pt_idx=inv_pt[jnp.maximum(state.kf_mp[ok_kf, ok_slot], 0)].clip(0),
+        cam_idx=kf_iota.reshape(-1),
+        pt_idx=jnp.maximum(state.kf_mp, 0).reshape(-1),
         target=jnp.concatenate(
-            [state.kf_xy[ok_kf, ok_slot], state.kf_ur[ok_kf, ok_slot, None]], -1
-        ),
+            [state.kf_xy, state.kf_ur[..., None]], -1
+        ).reshape(-1, 3),
         inv_sigma2=INV_LEVEL_SIGMA2[
-            jnp.clip(state.kf_level[ok_kf, ok_slot], 0, N_LEVELS - 1)
-        ],
-        is_stereo=state.kf_ur[ok_kf, ok_slot] >= 0,
-        valid=obs_valid,
+            jnp.clip(state.kf_level, 0, N_LEVELS - 1)
+        ].reshape(-1),
+        is_stereo=(state.kf_ur >= 0).reshape(-1),
+        valid=flat_ok.reshape(-1),
     )
     prob = ba.BAProblem(
-        poses=state.kf_pose[cam_sel], points=state.mp_pos[pt_sel], obs=obs,
+        poses=state.kf_pose, points=state.mp_pos, obs=obs,
         cam_fixed=cam_fixed, K=K, bf=bf,
     )
     prob2, cost = ba.bundle_adjust(prob, cg_iters=32)
 
-    kf_pose = state.kf_pose.at[jnp.where(cam_used & ~cam_fixed, cam_sel, Kmax)].set(
-        prob2.poses, mode="drop"
+    kf_pose = jnp.where(
+        (cam_used & ~cam_fixed)[:, None, None], prob2.poses, state.kf_pose
     )
-    mp_pos = state.mp_pos.at[jnp.where(pt_valid, pt_sel, M)].set(
-        prob2.points, mode="drop"
-    )
+    mp_pos = jnp.where(state.mp_valid[:, None], prob2.points, state.mp_pos)
     return state._replace(kf_pose=kf_pose, mp_pos=mp_pos), cost
 
 
@@ -249,7 +444,9 @@ class LoopCloser:
         self.n_loops_closed = 0
 
     def on_keyframe(self, state: MapState, kf_id: int, n_kf: int):
-        """Returns (state, db, loop_closed: bool)."""
+        """One LoopClosing round for a freshly inserted keyframe.
+        Returns (state, loop_closed: bool); the BoW database is updated in
+        place on `self.db`."""
         from . import keyframe_database as kdb
 
         self.db = kdb.add_keyframe(
@@ -287,9 +484,18 @@ class LoopCloser:
                 jax.random.key(kf_id * 131 + cand), fix_scale=self.fix_scale,
             )
             if bool(success):
+                from .map_state import refresh_covis
+
                 state = correct_loop(
                     state, jnp.int32(kf_id), jnp.int32(cand), S12
                 )
+                # Fuse the duplicated landmarks the loop created
+                # (SearchAndFuse, src/LoopClosing.cc:453-551,596-622), then
+                # refresh the covisibility cache the fusion changed.
+                state, _ = search_and_fuse(
+                    state, jnp.int32(kf_id), jnp.int32(cand), self.K
+                )
+                state = refresh_covis(state)
                 state, _ = global_bundle_adjustment(state, self.K, self.bf)
                 self.last_loop_kf = kf_id
                 self.n_loops_closed += 1

@@ -36,6 +36,14 @@ class MapState(NamedTuple):
     kf_kp_valid: jax.Array  # (K,N) bool
     kf_ur: jax.Array  # (K,N) f32 stereo right-u (-1 mono)
     kf_mp: jax.Array  # (K,N) i32 keypoint -> map point id (-1 none)
+    # Spanning tree (KeyFrame::mpParent, reference src/KeyFrame.cc:382-417):
+    # parent = best-covisible existing keyframe at insertion; culling
+    # re-parents children (SetBadFlag, src/KeyFrame.cc:486-536).
+    kf_parent: jax.Array  # (K,) i32 parent slot (-1 root)
+    # Monotone insertion sequence number: slot ids are REUSED after culling
+    # (the free-list replacing Map::EraseKeyFrame, src/Map.cc:60-75), so age
+    # ordering must come from kf_seq, never from the slot id.
+    kf_seq: jax.Array  # (K,) i32 (-1 unused slot)
     # --- map points (capacity M) ---
     mp_pos: jax.Array  # (M,3) f32 world
     mp_valid: jax.Array  # (M,) bool
@@ -45,10 +53,24 @@ class MapState(NamedTuple):
     mp_max_dist: jax.Array  # (M,) f32
     mp_visible: jax.Array  # (M,) i32 Increase/Found ratio bookkeeping
     mp_found: jax.Array  # (M,) i32
-    mp_first_kf: jax.Array  # (M,) i32 creating keyframe
+    mp_first_kf: jax.Array  # (M,) i32 creating keyframe slot
+    mp_first_seq: jax.Array  # (M,) i32 creating keyframe's kf_seq (for age)
+    # Persistent loop edges (KeyFrame::mspLoopEdges, reference
+    # src/KeyFrame.cc:419-430): every accepted closure adds one (cur, loop)
+    # pair; the essential graph includes ALL of them, not just the newest
+    # (src/Optimizer.cc:842-879). Keyframes on a loop edge are never culled.
+    loop_edges: jax.Array  # (LOOP_EDGE_CAP, 2) i32 (-1 unused)
+    n_loop_edges: jax.Array  # () i32
+    # --- cached derived structure ---
+    # Covisibility weights, refreshed once per keyframe-insertion round
+    # (refresh_covis). The per-frame tracking path reads this cache instead
+    # of recomputing the (K,M)x(M,K) incidence matmul every frame; mapping
+    # stages that need an exact, current row use row_covisibility.
+    covis: jax.Array  # (K,K) i32
     # --- counters (device scalars so programs stay jittable) ---
-    n_kf: jax.Array  # () i32 next free keyframe slot
-    n_mp: jax.Array  # () i32 next free map-point slot
+    n_kf: jax.Array  # () i32 keyframe slot high-water mark
+    n_mp: jax.Array  # () i32 map-point slot high-water mark
+    n_seq: jax.Array  # () i32 total keyframes ever inserted
 
     @property
     def max_kf(self) -> int:
@@ -61,6 +83,9 @@ class MapState(NamedTuple):
     @property
     def n_kp(self) -> int:
         return self.kf_xy.shape[1]
+
+
+LOOP_EDGE_CAP = 32
 
 
 def empty_map(max_kf: int = 256, max_mp: int = 32768, n_kp: int = 1024) -> MapState:
@@ -76,6 +101,8 @@ def empty_map(max_kf: int = 256, max_mp: int = 32768, n_kp: int = 1024) -> MapSt
         kf_kp_valid=jnp.zeros((K, N), bool),
         kf_ur=jnp.full((K, N), -1.0, jnp.float32),
         kf_mp=jnp.full((K, N), -1, jnp.int32),
+        kf_parent=jnp.full(K, -1, jnp.int32),
+        kf_seq=jnp.full(K, -1, jnp.int32),
         mp_pos=jnp.zeros((M, 3), jnp.float32),
         mp_valid=jnp.zeros(M, bool),
         mp_desc=jnp.zeros((M, 8), jnp.uint32),
@@ -85,8 +112,13 @@ def empty_map(max_kf: int = 256, max_mp: int = 32768, n_kp: int = 1024) -> MapSt
         mp_visible=jnp.ones(M, jnp.int32),
         mp_found=jnp.ones(M, jnp.int32),
         mp_first_kf=jnp.full(M, -1, jnp.int32),
+        mp_first_seq=jnp.zeros(M, jnp.int32),
+        loop_edges=jnp.full((LOOP_EDGE_CAP, 2), -1, jnp.int32),
+        n_loop_edges=jnp.int32(0),
+        covis=jnp.zeros((K, K), jnp.int32),
         n_kf=jnp.int32(0),
         n_mp=jnp.int32(0),
+        n_seq=jnp.int32(0),
     )
 
 
@@ -112,6 +144,36 @@ def covisibility(state: MapState) -> jax.Array:
     C = jnp.dot(inc, inc.T, preferred_element_type=jnp.float32).astype(jnp.int32)
     C = C * (state.kf_valid[:, None] & state.kf_valid[None, :])
     return C * (1 - jnp.eye(K, dtype=jnp.int32))
+
+
+def row_covisibility(state: MapState, kf: jax.Array) -> jax.Array:
+    """(K,) int32 — shared-point counts between keyframe `kf` and every other
+    keyframe, computed fresh in O(K*N) (no incidence matmul).
+
+    Exact replacement for `covisibility(state)[kf]` used by the mapping
+    stages right after structural changes, when the cached `state.covis` is
+    stale."""
+    M = state.mp_pos.shape[0]
+    row = state.kf_mp[kf]
+    row_ok = (row >= 0) & state.kf_kp_valid[kf]
+    in_row = (
+        jnp.zeros(M + 1, bool)
+        .at[jnp.where(row_ok, row, M)]
+        .set(True)[:M]
+        & state.mp_valid
+    )
+    shared = (
+        in_row[jnp.maximum(state.kf_mp, 0)]
+        & (state.kf_mp >= 0)
+        & state.kf_kp_valid
+    )
+    votes = jnp.sum(shared, axis=1).astype(jnp.int32) * state.kf_valid
+    return votes.at[kf].set(0) * state.kf_valid[kf]
+
+
+def refresh_covis(state: MapState) -> MapState:
+    """Recompute the cached covisibility matrix (once per mapping round)."""
+    return state._replace(covis=covisibility(state))
 
 
 @jax.jit
@@ -141,8 +203,31 @@ def append_keyframe(
     ur: jax.Array,
     mp_ids: jax.Array,
 ) -> tuple[MapState, jax.Array]:
-    """Insert a keyframe at the next free slot; returns (state, kf_id)."""
-    k = state.n_kf
+    """Insert a keyframe at the FIRST FREE slot (free-list reuse of culled
+    slots — the Map::EraseKeyFrame + new-KeyFrame allocation cycle,
+    src/Map.cc:60-75) and attach it to the spanning tree: parent = the
+    keyframe sharing the most map points (KeyFrame::UpdateConnections first
+    call, src/KeyFrame.cc:290-380). Returns (state, kf_id). Callers guard
+    capacity (a full map refuses insertion)."""
+    k = jnp.argmin(state.kf_valid)  # first free slot (False sorts first)
+
+    # Parent: most shared map points with the new keyframe's associations.
+    M = state.mp_pos.shape[0]
+    in_new = (
+        jnp.zeros(M + 1, bool)
+        .at[jnp.where((mp_ids >= 0) & kp_valid, mp_ids, M)]
+        .set(True)[:M]
+        & state.mp_valid
+    )
+    shared = (
+        in_new[jnp.maximum(state.kf_mp, 0)]
+        & (state.kf_mp >= 0)
+        & state.kf_kp_valid
+    )
+    votes = jnp.sum(shared, axis=1).astype(jnp.int32) * state.kf_valid
+    parent = jnp.argmax(votes).astype(jnp.int32)
+    parent = jnp.where(votes[parent] > 0, parent, -1)
+
     return (
         state._replace(
             kf_pose=state.kf_pose.at[k].set(pose),
@@ -155,7 +240,10 @@ def append_keyframe(
             kf_kp_valid=state.kf_kp_valid.at[k].set(kp_valid),
             kf_ur=state.kf_ur.at[k].set(ur),
             kf_mp=state.kf_mp.at[k].set(mp_ids),
-            n_kf=k + 1,
+            kf_parent=state.kf_parent.at[k].set(parent),
+            kf_seq=state.kf_seq.at[k].set(state.n_seq),
+            n_kf=jnp.maximum(state.n_kf, k + 1),
+            n_seq=state.n_seq + 1,
         ),
         k,
     )
@@ -245,4 +333,99 @@ def _update_mp_stats_jit(state: MapState, scale: float = 1.2):
         mp_normal=mp_normal,
         mp_max_dist=jnp.where(any_obs, max_dist * 1.2, state.mp_max_dist),
         mp_min_dist=jnp.where(any_obs, min_dist * 0.8, state.mp_min_dist),
+    )
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def update_mp_stats_window(state: MapState, kf_id: jax.Array, scale: float = 1.2):
+    """Refresh stats for ONLY the points observed by keyframe `kf_id`.
+
+    Every point whose observation set changed during a mapping round
+    (created, depth-densified, fuse winner, newly associated) appears in
+    that keyframe's row, so this covers exactly the reference's update set
+    (MapPoint::ComputeDistinctiveDescriptors / UpdateNormalAndDepth are
+    called per touched point, src/LocalMapping.cc:168-171,404-407,530-537)
+    at ~1/16 the cost of the full-map pass: the observation search runs over
+    the OBS_CAP best covisible rows instead of argsorting all K*N slots.
+    """
+    from ..ops import hamming
+
+    K, N = state.kf_mp.shape
+    M = state.mp_pos.shape[0]
+    J = min(OBS_CAP, K)
+
+    # Observing keyframes considered: kf_id + its best covisible neighbors
+    # (a point in kf_id's row can only be observed by covisible keyframes).
+    row_w = row_covisibility(state, kf_id).at[kf_id].set(1 << 20)
+    _, obs_kfs = jax.lax.top_k(jnp.where(state.kf_valid, row_w, -1), J)  # (J,)
+
+    # Per-row inverse index: point id -> keypoint slot within that row.
+    rows_mp = state.kf_mp[obs_kfs]  # (J,N)
+    rows_ok = (
+        state.kf_kp_valid[obs_kfs]
+        & (rows_mp >= 0)
+        & state.kf_valid[obs_kfs][:, None]
+    )
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (J, N), 0)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (J, N), 1)
+    inv = (
+        jnp.full((J, M + 1), N, jnp.int32)
+        .at[j_iota, jnp.where(rows_ok, rows_mp, M)]
+        .set(slot_iota)
+    )
+
+    sub = state.kf_mp[kf_id]  # (N,) point ids under refresh (-1 = none)
+    sub_ok = (
+        (sub >= 0)
+        & state.kf_kp_valid[kf_id]
+        & state.mp_valid[jnp.maximum(sub, 0)]
+    )
+    subc = jnp.maximum(sub, 0)
+    obs_slot = inv[:, :M][jnp.arange(J)[:, None], subc[None, :]].T  # (N,J)
+    obs_ok = (obs_slot < N) & sub_ok[:, None]
+    obs_kf = jnp.broadcast_to(obs_kfs[None, :], (N, J))
+    obs_slot_c = jnp.minimum(obs_slot, N - 1)
+
+    descs = state.kf_desc[obs_kf, obs_slot_c]  # (N,J,8)
+    pm1 = hamming.unpack_pm1(descs.reshape(-1, 8)).reshape(N, J, 256)
+    D = jnp.einsum("mac,mbc->mab", pm1, pm1, preferred_element_type=jnp.float32)
+    D = (256.0 - D) * 0.5
+    pair_ok = obs_ok[:, :, None] & obs_ok[:, None, :]
+    mean_d = jnp.sum(jnp.where(pair_ok, D, 0.0), axis=-1) / jnp.maximum(
+        jnp.sum(pair_ok, axis=-1), 1
+    )
+    mean_d = jnp.where(obs_ok, mean_d, jnp.inf)
+    rep = jnp.argmin(mean_d, axis=-1)  # (N,)
+    new_desc = descs[jnp.arange(N), rep]
+    any_obs = jnp.any(obs_ok, axis=-1)
+
+    Twc_t = -jnp.einsum(
+        "kij,ki->kj",
+        state.kf_pose[obs_kfs][:, :3, :3],
+        state.kf_pose[obs_kfs][:, :3, 3],
+    )  # (J,3) observing camera centers in world
+    centers = Twc_t[None, :, :]  # (1,J,3) broadcast over points
+    pos = state.mp_pos[subc]  # (N,3)
+    vec = pos[:, None, :] - centers
+    vec = vec / jnp.maximum(jnp.linalg.norm(vec, axis=-1, keepdims=True), 1e-9)
+    normal = jnp.sum(jnp.where(obs_ok[..., None], vec, 0.0), axis=1)
+    n_obs = jnp.maximum(jnp.sum(obs_ok, axis=-1), 1)
+    normal = normal / n_obs[:, None]
+    norm_len = jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+    new_normal = normal / norm_len
+
+    ref_j = rep
+    ref_center = Twc_t[ref_j]  # (N,3)
+    dist = jnp.linalg.norm(pos - ref_center, axis=-1)
+    ref_level = state.kf_level[obs_kfs[ref_j], obs_slot_c[jnp.arange(N), ref_j]]
+    max_dist = dist * scale ** ref_level.astype(jnp.float32)
+    min_dist = max_dist / scale ** 7.0
+
+    upd = any_obs & sub_ok
+    tgt = jnp.where(upd, sub, M)  # park non-updates out of range
+    return state._replace(
+        mp_desc=state.mp_desc.at[tgt].set(new_desc, mode="drop"),
+        mp_normal=state.mp_normal.at[tgt].set(new_normal, mode="drop"),
+        mp_max_dist=state.mp_max_dist.at[tgt].set(max_dist * 1.2, mode="drop"),
+        mp_min_dist=state.mp_min_dist.at[tgt].set(min_dist * 0.8, mode="drop"),
     )

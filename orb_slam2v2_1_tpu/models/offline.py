@@ -35,7 +35,7 @@ class ScanCarry(NamedTuple):
     ref_kf: jax.Array  # () i32
     last_kf_frame: jax.Array  # () i32
     frame_id: jax.Array  # () i32
-    n_kf: jax.Array  # () i32
+    n_live: jax.Array  # () i32 live (non-culled) keyframe count
     lost: jax.Array  # () bool
 
 
@@ -49,7 +49,9 @@ def _need_kf(stats, carry: ScanCarry, mono: bool, max_frames: int, max_kf: int):
     c1b = frames_since >= 1
     c2 = (n_inliers < ref_matches * ref_ratio) & (n_inliers > 15)
     need_close = jnp.asarray(False) if mono else (stats[4] < 100) & (stats[5] > 70)
-    room = carry.n_kf < max_kf - 2
+    # Culled slots are reused (map_state.append_keyframe), so capacity is
+    # bounded by the LIVE count, not the high-water mark.
+    room = carry.n_live < max_kf - 2
     return ((c1b & (c2 | need_close)) | c1a) & room
 
 
@@ -92,17 +94,18 @@ def run_sequence_rgbd(
 
         def do_insert(args):
             st, fr = args
-            st2, kf_id, _ = frontend.insert_keyframe_fused(
+            st2, kf_id, _, victim, _, _ = frontend.insert_keyframe_fused(
                 st, fr, K, bf,
                 jnp.where(mono, jnp.float32(0.0), depth_limit),
                 jax.random.fold_in(jax.random.key(0), carry.frame_id),
             )
-            return st2, kf_id
+            # +1 inserted, -1 if a redundant keyframe was culled/erased.
+            return st2, kf_id, jnp.where(victim >= 0, 0, 1).astype(jnp.int32)
 
-        state2, new_ref = jax.lax.cond(
+        state2, new_ref, d_live = jax.lax.cond(
             need_kf,
             do_insert,
-            lambda args: (args[0], carry.ref_kf),
+            lambda args: (args[0], carry.ref_kf, jnp.int32(0)),
             (res.state, res.frame),
         )
 
@@ -122,7 +125,7 @@ def run_sequence_rgbd(
             ref_kf=new_ref,
             last_kf_frame=jnp.where(need_kf, carry.frame_id, carry.last_kf_frame),
             frame_id=carry.frame_id + 1,
-            n_kf=state2.n_kf,
+            n_live=carry.n_live + d_live,
             lost=~tracked,
         )
         return new_carry, (res.pose, tracked, res.T_rel, carry.ref_kf)
@@ -135,13 +138,13 @@ def run_sequence_rgbd(
         ref_kf=jnp.int32(0),
         last_kf_frame=jnp.int32(0),
         frame_id=jnp.int32(1),
-        n_kf=state.n_kf,
+        n_live=jnp.sum(state.kf_valid.astype(jnp.int32)),
         lost=jnp.asarray(False),
     )
     carry, (poses, ok, T_rel, ref_kfs) = jax.lax.scan(
         step, carry0, (images[1:], depths[1:])
     )
-    return carry.state, poses, ok, T_rel, ref_kfs, carry.n_kf
+    return carry.state, poses, ok, T_rel, ref_kfs, carry.n_live
 
 
 def track_sequence_rgbd(images, depths, cfg, sensor_bf=None):

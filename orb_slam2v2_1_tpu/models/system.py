@@ -90,6 +90,7 @@ class SlamSystem:
         self._stream = None
         self._odom_Tcw = None
         self._last_Tcw = None
+        self._pending_redirects = []
         if self.async_mapping:
             self._start_async()
 
@@ -129,10 +130,18 @@ class SlamSystem:
         self._box = MapBox(self.map)
 
         def mapping_fn(state, kf_id, allow_ba):
-            return frontend.mapping_pipeline(
+            state, victim, vparent, T_red = frontend.mapping_pipeline(
                 state, jnp.int32(kf_id), self._K, self._bf,
                 jax.random.key(kf_id), allow_ba,
             )
+            v = int(victim)
+            if v >= 0:
+                # Worker thread: queue the trajectory rewrite for the
+                # tracking thread (list.append is atomic under the GIL).
+                self._pending_redirects.append(
+                    (v, int(vparent), np.asarray(T_red))
+                )
+            return state
 
         loop_fn = None
         if self.loop_closer is not None:
@@ -337,6 +346,8 @@ class SlamSystem:
 
     def _handle_result(self, res, timestamp: float):
         stats = np.asarray(res.stats)  # the single per-frame sync point
+        while self._pending_redirects:
+            self._apply_cull(*self._pending_redirects.pop(0))
         if self._box is not None:
             # Advisory: visibility stats lose the race against structural
             # (mapping/loop) updates; next frame re-reads the box.
@@ -440,6 +451,7 @@ class SlamSystem:
         self.last_kf_frame = -1
         self._have_velocity = False
         self._last_Tcw = None
+        self._pending_redirects = []
         self.trajectory = Trajectory()
         self._init_recognition()
         if self._mapper is not None:
@@ -473,22 +485,38 @@ class SlamSystem:
     def _insert_keyframe_fused(self, frame):
         from . import frontend
 
-        self.map, kf_id, _ = frontend.insert_keyframe_fused(
-            self.map, frame, self._K, self._bf,
-            jnp.float32(self._depth_limit if self.sensor != Sensor.MONOCULAR else 0.0),
-            jax.random.key(self.frame_id),
+        self.map, kf_id, _, victim, vparent, T_redirect = (
+            frontend.insert_keyframe_fused(
+                self.map, frame, self._K, self._bf,
+                jnp.float32(
+                    self._depth_limit if self.sensor != Sensor.MONOCULAR else 0.0
+                ),
+                jax.random.key(self.frame_id),
+            )
         )
         self.ref_kf = int(kf_id)
         self.n_kf_host += 1
         self.last_kf_frame = self.frame_id
+        self._apply_cull(int(victim), int(vparent), T_redirect)
         self._stream_keyframe()
+
+    def _apply_cull(self, victim: int, parent: int, T_redirect):
+        """Host bookkeeping for an erased redundant keyframe: rewrite
+        trajectory references onto the spanning-tree parent and release the
+        slot from the live count (the SetBadFlag + SaveTrajectory chain,
+        src/KeyFrame.cc:432-546, src/System.cc:610-629)."""
+        if victim < 0:
+            return
+        self.trajectory.redirect_kf(victim, parent, np.asarray(T_redirect))
+        self.n_kf_host -= 1
 
     def _stream_keyframe(self):
         """Push the new keyframe + refined poses to the map server (the
         Map::Add/UpdateKeyFrame forwarding, src/Map.cc:35-98)."""
         if self._stream is not None:
             self._stream.send_keyframe(self.map, self.ref_kf)
-            self._stream.send_pose_update(self.map, np.arange(self.n_kf_host))
+            live = np.where(np.asarray(self.map.kf_valid))[0]
+            self._stream.send_pose_update(self.map, live)
 
     def _insert_keyframe_async(self, frame):
         """Tracking-side keyframe creation: structural append, then hand the

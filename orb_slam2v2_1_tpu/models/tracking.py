@@ -181,9 +181,10 @@ def _local_keyframes(state: MapState, cur_mp: jax.Array):
     votes = votes * state.kf_valid
     k1 = votes > 0
 
-    from .map_state import covisibility
-
-    C = covisibility(state)
+    # Cached covisibility (refreshed once per mapping round): the neighbor
+    # bonus is a selection heuristic, staleness of <= one insertion is
+    # harmless, and it removes a (K,M)x(M,K) matmul from every frame.
+    C = state.covis
     neigh_score = jnp.sum(jnp.where(k1[:, None], C, 0), axis=0)  # (K,)
     score = votes.astype(jnp.int32) * 1000 + neigh_score
     score = jnp.where(state.kf_valid, score, -1)

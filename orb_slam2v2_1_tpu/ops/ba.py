@@ -158,8 +158,12 @@ def pose_optimization(
     def lm_round(carry, robust):
         Tcw, inlier = carry
 
-        def lm_iter(i, state):
-            Tcw, lam = state
+        def lm_cond(state):
+            _, _, it, done = state
+            return (it < iters) & ~done
+
+        def lm_iter(state):
+            Tcw, lam, it, _ = state
             r, Jc, _ = eval_all(Tcw)
             chi2 = _chi2(r, obs)
             w = _obs_weights(obs, chi2, robust) * inlier
@@ -178,12 +182,18 @@ def pose_optimization(
 
             T_new, cost1 = try_step(lam)
             accept = cost1 < cost0
+            # Early exit once an accepted step stops improving the cost
+            # (g2o's terminate criterion; saves the tail of the 10-iteration
+            # budget on the common near-converged tracking problem).
+            done = accept & (cost0 - cost1 < 1e-4 * cost0 + 1e-6)
             Tcw = jnp.where(accept, T_new, Tcw)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
             lam = jnp.clip(lam, 1e-8, 1e6)
-            return (Tcw, lam)
+            return (Tcw, lam, it + 1, done)
 
-        Tcw, _ = jax.lax.fori_loop(0, iters, lm_iter, (Tcw, jnp.float32(1e-3)))
+        Tcw, _, _, _ = jax.lax.while_loop(
+            lm_cond, lm_iter, (Tcw, jnp.float32(1e-3), jnp.int32(0), jnp.asarray(False))
+        )
 
         # Re-classify every observation at the new pose (reference re-tests
         # outliers each round so they can come back).
@@ -383,8 +393,12 @@ def ba_step_count(prob: BAProblem, iters: int = 5, cg_iters: int = 24, robust: b
     """
     inlier0 = prob.obs.valid.astype(jnp.float32)
 
-    def lm_iter(i, state):
-        prob, lam = state
+    def lm_cond(state):
+        _, _, it, done = state
+        return (it < iters) & ~done
+
+    def lm_iter(state):
+        prob, lam, it, _ = state
         r, Jc, Jp, w, cost0, _, _ = _build_system(prob, robust, inlier0)
         if dense:
             dx_cam, dx_pt = _schur_solve_dense(prob, r, Jc, Jp, w, lam)
@@ -395,11 +409,14 @@ def ba_step_count(prob: BAProblem, iters: int = 5, cg_iters: int = 24, robust: b
         cand = prob._replace(poses=new_poses, points=new_points)
         _, _, _, _, cost1, _, _ = _build_system(cand, robust, inlier0)
         accept = cost1 < cost0
+        done = accept & (cost0 - cost1 < 1e-4 * cost0 + 1e-6)
         prob = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, prob)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6)
-        return (prob, lam)
+        return (prob, lam, it + 1, done)
 
-    prob, _ = jax.lax.fori_loop(0, iters, lm_iter, (prob, jnp.float32(1e-4)))
+    prob, _, _, _ = jax.lax.while_loop(
+        lm_cond, lm_iter, (prob, jnp.float32(1e-4), jnp.int32(0), jnp.asarray(False))
+    )
     # Re-orthonormalize optimized poses; fixed cameras stay bit-identical.
     ortho = lie.orthonormalize(prob.poses)
     prob = prob._replace(
@@ -529,6 +546,43 @@ def _window_cost(poses, points, win: BAWindow, robust, inlier):
     return jnp.sum(chi2 * _window_huber(win, chi2, robust) * win.valid * inlier)
 
 
+# Reduced-camera-system solver: "cg" (default) runs Jacobi-preconditioned
+# conjugate gradients — every step is a dense (6C,6C) matvec, all parallel
+# VPU/MXU work, no sequential factorization panels; "chol" uses the LAPACK-
+# style blocked Cholesky (fewer FLOPs but latency-bound on small systems:
+# a 192x192 factorization serializes into O(C) dependent steps on TPU).
+SPD_SOLVER = "cg"
+SPD_CG_ITERS = 48
+
+
+def _spd_solve(S: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve S x = b for SPD S ((n,n), (n,))."""
+    if SPD_SOLVER == "chol":
+        chol = jax.scipy.linalg.cho_factor(S)
+        return jax.scipy.linalg.cho_solve(chol, b)
+    # Jacobi-preconditioned CG. The LM wrapper tolerates an inexact solve
+    # (it just damps/retries), so a fixed iteration budget is safe.
+    d_inv = 1.0 / jnp.maximum(jnp.diagonal(S), 1e-12)
+
+    def body(i, st):
+        x, res, z, p, rz = st
+        Sp = S @ p
+        alpha = rz / jnp.maximum(p @ Sp, 1e-20)
+        x = x + alpha * p
+        res = res - alpha * Sp
+        z = d_inv * res
+        rz_n = res @ z
+        beta = rz_n / jnp.maximum(rz, 1e-20)
+        p = z + beta * p
+        return (x, res, z, p, rz_n)
+
+    x0 = jnp.zeros_like(b)
+    z0 = d_inv * b
+    st = (x0, b, z0, z0, b @ z0)
+    x, _, _, _, _ = jax.lax.fori_loop(0, SPD_CG_ITERS, body, st)
+    return x
+
+
 def _window_schur_step(win: BAWindow, slot_of, r, Jc, Jp, w, lam):
     """One damped GN step: Schur-eliminate points, dense reduced solve.
 
@@ -586,7 +640,7 @@ def _window_schur_step(win: BAWindow, slot_of, r, Jc, Jp, w, lam):
     rhs = -(gc - jnp.einsum("pcay,py->ca", U, gp))
     rhs = rhs * (~win.cam_fixed)[:, None]
 
-    dx_cam = jnp.linalg.solve(S, rhs.reshape(-1)).reshape(C, 6)
+    dx_cam = _spd_solve(S, rhs.reshape(-1)).reshape(C, 6)
     dx_cam = dx_cam * (~win.cam_fixed)[:, None]
     dx_cam = jnp.where(jnp.all(jnp.isfinite(dx_cam)), dx_cam, jnp.zeros_like(dx_cam))
 
@@ -605,8 +659,12 @@ def ba_window_steps(win: BAWindow, iters: int = 5, robust: bool = True):
     slot_of = _window_slot_of(win)
     inlier0 = win.valid.astype(jnp.float32)
 
-    def lm_iter(i, state):
-        win, lam = state
+    def lm_cond(state):
+        _, _, it, done = state
+        return (it < iters) & ~done
+
+    def lm_iter(state):
+        win, lam, it, _ = state
         r, Jc, Jp, _ = _window_eval(win.poses, win.points, win, with_jac=True)
         chi2 = _window_chi2(r, win)
         w = (
@@ -622,14 +680,18 @@ def ba_window_steps(win: BAWindow, iters: int = 5, robust: bool = True):
         new_points = win.points + dx_pt
         cost1 = _window_cost(new_poses, new_points, win, robust, inlier0)
         accept = cost1 < cost0
+        # Early exit on a converged accepted step (g2o terminate criterion).
+        done = accept & (cost0 - cost1 < 1e-4 * cost0 + 1e-6)
         win = win._replace(
             poses=jnp.where(accept, new_poses, win.poses),
             points=jnp.where(accept, new_points, win.points),
         )
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6)
-        return (win, lam)
+        return (win, lam, it + 1, done)
 
-    win, _ = jax.lax.fori_loop(0, iters, lm_iter, (win, jnp.float32(1e-4)))
+    win, _, _, _ = jax.lax.while_loop(
+        lm_cond, lm_iter, (win, jnp.float32(1e-4), jnp.int32(0), jnp.asarray(False))
+    )
     ortho = lie.orthonormalize(win.poses)
     win = win._replace(
         poses=jnp.where(win.cam_fixed[:, None, None], win.poses, ortho)

@@ -101,10 +101,11 @@ def optimize_pose_graph(
 
 def build_edges_from_map(state, loop_i, loop_j, S_loop_ji, covis_threshold: int = 100,
                          max_edges: int = 2048):
-    """Edge list: sequential spanning chain + strong covisibility + the loop
-    edge (reference: spanning tree + covis>=100 + loop edges,
-    src/Optimizer.cc:805-954). Measurements come from current poses except
-    the loop edge, which carries the Sim3-solver estimate."""
+    """Edge list for the essential graph: TRUE spanning tree (kf_parent) +
+    strong covisibility + ALL persistent past loop edges + the new measured
+    loop edge (reference src/Optimizer.cc:805-954). Measurements come from
+    current poses except the new loop edge, which carries the Sim3-solver
+    estimate."""
     from ..models.map_state import covisibility
 
     Kn = state.kf_pose.shape[0]
@@ -113,9 +114,27 @@ def build_edges_from_map(state, loop_i, loop_j, S_loop_ji, covis_threshold: int 
 
     ii, jj = jnp.meshgrid(jnp.arange(Kn), jnp.arange(Kn), indexing="ij")
     upper = ii < jj
-    seq = (jj == ii + 1) & kf_valid[ii] & kf_valid[jj]  # spanning chain
-    strong = (C >= covis_threshold) & upper & kf_valid[ii] & kf_valid[jj]
-    mask = (seq | strong) & upper
+    # Spanning-tree edges (KeyFrame::GetParent): child -> parent, symmetrized
+    # into the upper triangle.
+    par = state.kf_parent
+    has_par = kf_valid & (par >= 0)
+    tree = jnp.zeros((Kn, Kn), bool)
+    child_iota = jnp.arange(Kn)
+    pc = jnp.minimum(child_iota, jnp.maximum(par, 0))
+    qc = jnp.maximum(child_iota, jnp.maximum(par, 0))
+    tree = tree.at[jnp.where(has_par, pc, Kn), jnp.where(has_par, qc, Kn)].set(
+        True, mode="drop"
+    )
+    # Past loop edges (persistent, mspLoopEdges analog).
+    le = state.loop_edges
+    le_ok = (le[:, 0] >= 0) & (le[:, 1] >= 0)
+    lp = jnp.minimum(le[:, 0], le[:, 1])
+    lq = jnp.maximum(le[:, 0], le[:, 1])
+    tree = tree.at[jnp.where(le_ok, lp, Kn), jnp.where(le_ok, lq, Kn)].set(
+        True, mode="drop"
+    )
+    strong = (C >= covis_threshold) & upper
+    mask = (tree | strong) & upper & kf_valid[ii] & kf_valid[jj]
 
     flat = mask.reshape(-1)
     _, sel = jax.lax.top_k(flat.astype(jnp.int32), max_edges - 1)

@@ -126,7 +126,7 @@ def sim3_ransac(
         return lie.make_sim3(R, t, s)
 
     S_ref = weighted_horn()
-    # Re-evaluate refit inliers.
+    # Re-evaluate refit inliers (continues below).
     S21r = lie.sim3_inverse(S_ref)
     e1 = _project((p2_cam @ S_ref[:3, :3].T) + S_ref[:3, 3], K) - uv1
     e2 = _project((p1_cam @ S21r[:3, :3].T) + S21r[:3, 3], K) - uv2
@@ -141,3 +141,109 @@ def sim3_ransac(
         inliers=jnp.where(better, inl_r, inls[best]),
         n_inliers=jnp.maximum(n, n_r),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sim3 refinement (Optimizer::OptimizeSim3 analog)
+# ---------------------------------------------------------------------------
+
+CHI2_SIM3 = 9.210  # 2-dof 99% gate, both directions (src/Optimizer.cc:1124-1133)
+
+
+@partial(jax.jit, static_argnames=("fix_scale", "iters"))
+def optimize_sim3(
+    p1_cam: jax.Array,  # (N,3) matched points in camera-1 frame
+    p2_cam: jax.Array,  # (N,3) matched points in camera-2 frame
+    uv1: jax.Array,  # (N,2) observed pixels in image 1
+    uv2: jax.Array,  # (N,2) observed pixels in image 2
+    inv_sigma2_1: jax.Array,  # (N,)
+    inv_sigma2_2: jax.Array,  # (N,)
+    valid: jax.Array,  # (N,) bool
+    S12_0: jax.Array,  # (4,4) initial Sim3 (cam2 -> cam1)
+    K: jax.Array,
+    fix_scale: bool = True,
+    iters: int = 10,
+):
+    """LM refinement of a relative Sim3 with BOTH-direction reprojection
+    edges (Optimizer::OptimizeSim3, reference src/Optimizer.cc:1051-1249):
+    5 robust iterations, chi2 > 9.21 outlier removal (either direction
+    kills the pair, :1180-1199), then `iters` more plain iterations.
+    Jacobians via jacfwd of the closed-form residual in the 7-dof tangent
+    (scale row frozen when fix_scale). Returns (S12, inlier_mask, n_inliers).
+    """
+
+    def residuals(xi, S0):
+        S12 = lie.sim3_exp(xi) @ S0
+        S21 = lie.sim3_inverse(S12)
+        e1 = _project((p2_cam @ S12[:3, :3].T) + S12[:3, 3], K) - uv1
+        e2 = _project((p1_cam @ S21[:3, :3].T) + S21[:3, 3], K) - uv2
+        return jnp.concatenate([e1, e2], axis=-1)  # (N,4)
+
+    zero = jnp.zeros(7)
+    jac_fn = jax.jacfwd(residuals, argnums=0)
+
+    def chi2_pair(r):
+        c1 = jnp.sum(r[:, :2] ** 2, -1) * inv_sigma2_1
+        c2 = jnp.sum(r[:, 2:] ** 2, -1) * inv_sigma2_2
+        return c1, c2
+
+    def cost_of(S, inlier, robust):
+        r = residuals(zero, S)
+        c1, c2 = chi2_pair(r)
+
+        def hub(c):
+            return jnp.where(
+                robust & (c > CHI2_SIM3),
+                2.0 * jnp.sqrt(CHI2_SIM3 * jnp.maximum(c, 1e-12)) - CHI2_SIM3,
+                c,
+            )
+
+        return jnp.sum((hub(c1) + hub(c2)) * inlier)
+
+    def lm_phase(S12, inlier, robust, n_it):
+        def body(i, carry):
+            S12, lam = carry
+            r = residuals(zero, S12)  # (N,4)
+            J = jac_fn(zero, S12)  # (N,4,7)
+            if fix_scale:
+                J = J.at[..., 6].set(0.0)
+            c1, c2 = chi2_pair(r)
+            hw1 = jnp.where(
+                robust & (c1 > CHI2_SIM3),
+                jnp.sqrt(CHI2_SIM3 / jnp.maximum(c1, 1e-12)),
+                1.0,
+            )
+            hw2 = jnp.where(
+                robust & (c2 > CHI2_SIM3),
+                jnp.sqrt(CHI2_SIM3 / jnp.maximum(c2, 1e-12)),
+                1.0,
+            )
+            w = jnp.stack(
+                [inv_sigma2_1 * hw1] * 2 + [inv_sigma2_2 * hw2] * 2, axis=-1
+            ) * inlier[:, None]  # (N,4)
+            H = jnp.einsum("nia,ni,nib->ab", J, w, J)
+            g = jnp.einsum("nia,ni,ni->a", J, w, r)
+            Hd = H + (lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(7))
+            if fix_scale:
+                Hd = Hd.at[6, 6].set(1.0)
+            dx = -jnp.linalg.solve(Hd, g)
+            if fix_scale:
+                dx = dx.at[6].set(0.0)
+            cand = lie.sim3_exp(dx) @ S12
+            accept = cost_of(cand, inlier, robust) < cost_of(S12, inlier, robust)
+            S12 = jnp.where(accept, cand, S12)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6)
+            return (S12, lam)
+
+        S12, _ = jax.lax.fori_loop(0, n_it, body, (S12, jnp.float32(1e-4)))
+        return S12
+
+    inlier0 = valid.astype(jnp.float32)
+    S12 = lm_phase(S12_0, inlier0, jnp.asarray(True), 5)
+    # Mid-run outlier removal: either direction over the gate kills the pair.
+    c1, c2 = chi2_pair(residuals(zero, S12))
+    inlier = valid & (c1 <= CHI2_SIM3) & (c2 <= CHI2_SIM3)
+    S12 = lm_phase(S12, inlier.astype(jnp.float32), jnp.asarray(False), iters)
+    c1, c2 = chi2_pair(residuals(zero, S12))
+    inlier = valid & (c1 <= CHI2_SIM3) & (c2 <= CHI2_SIM3)
+    return S12, inlier, jnp.sum(inlier.astype(jnp.int32))

@@ -44,6 +44,8 @@ def encode_keyframe_delta(state: MapState, kf_id: int, command: int = INSERT) ->
         command=np.int32(command),
         kf_id=np.int32(kf_id),
         frame_id=np.asarray(state.kf_frame_id[kf_id]),
+        parent=np.asarray(state.kf_parent[kf_id]),
+        seq=np.asarray(state.kf_seq[kf_id]),
         pose=np.asarray(state.kf_pose[kf_id]),
         xy=np.asarray(state.kf_xy[kf_id]),
         level=np.asarray(state.kf_level[kf_id]),
@@ -153,6 +155,16 @@ class SlamServer:
             kf_kp_valid=st.kf_kp_valid.at[kf].set(jnp.asarray(data["kp_valid"])),
             kf_ur=st.kf_ur.at[kf].set(jnp.asarray(data["ur"])),
             kf_mp=st.kf_mp.at[kf].set(jnp.asarray(data["kf_mp"])),
+            kf_parent=st.kf_parent.at[kf].set(
+                int(data["parent"]) if "parent" in data.files else -1
+            ),
+            kf_seq=st.kf_seq.at[kf].set(
+                int(data["seq"]) if "seq" in data.files else kf
+            ),
+            n_seq=jnp.maximum(
+                st.n_seq,
+                (int(data["seq"]) if "seq" in data.files else kf) + 1,
+            ),
             n_kf=jnp.maximum(st.n_kf, kf + 1),
             n_mp=jnp.maximum(st.n_mp, int(mp_ids.max()) + 1 if len(mp_ids) else st.n_mp),
         )
@@ -279,7 +291,39 @@ class SlamServer:
             kf_mp=st.kf_mp.at[n_kf_a : n_kf_a + n_kf_b].set(jnp.asarray(remap)),
             n_kf=jnp.int32(n_kf_a + n_kf_b),
         )
-        return st
+        # Spanning tree / sequence bookkeeping: B's slots shift by n_kf_a,
+        # B's insertion sequence shifts after all of A's.
+        par_b = np.asarray(b.kf_parent[:n_kf_b])
+        par_b = np.where(par_b >= 0, par_b + n_kf_a, -1)
+        seq_b = np.asarray(b.kf_seq[:n_kf_b])
+        n_seq_a = int(a.n_seq)
+        seq_b = np.where(seq_b >= 0, seq_b + n_seq_a, -1)
+        le_b = np.asarray(b.loop_edges)
+        le_b = np.where(le_b >= 0, le_b + n_kf_a, -1)
+        cap = st.loop_edges.shape[0]
+        n_le_a = min(int(a.n_loop_edges), cap)
+        n_le_b = min(int(b.n_loop_edges), cap)
+        le = np.asarray(st.loop_edges)
+        take = min(n_le_b, cap - n_le_a)
+        if take > 0:
+            le[n_le_a : n_le_a + take] = le_b[:take]
+        st = st._replace(
+            kf_parent=st.kf_parent.at[n_kf_a : n_kf_a + n_kf_b].set(
+                jnp.asarray(par_b)
+            ),
+            kf_seq=st.kf_seq.at[n_kf_a : n_kf_a + n_kf_b].set(jnp.asarray(seq_b)),
+            mp_first_seq=st.mp_first_seq.at[n_mp_a : n_mp_a + n_mp_b].set(
+                jnp.asarray(
+                    np.asarray(b.mp_first_seq[:n_mp_b]) + n_seq_a
+                )
+            ),
+            loop_edges=jnp.asarray(le),
+            n_loop_edges=jnp.int32(n_le_a + take),
+            n_seq=jnp.int32(n_seq_a + int(b.n_seq)),
+        )
+        from ..models.map_state import refresh_covis
+
+        return refresh_covis(st)
 
 
 class DeltaStream:
@@ -289,16 +333,21 @@ class DeltaStream:
     def __init__(self, server: SlamServer, cid: int):
         self.server = server
         self.cid = cid
-        self._sent_kfs: set[int] = set()
+        # Keyed by (slot, seq): culled slots are REUSED by new keyframes
+        # (map_state.append_keyframe), so a bare slot id is not an identity.
+        self._sent_kfs: dict[int, int] = {}
 
     def flush(self, state: MapState, n_kf: int):
         """Push any new keyframes + a pose/point update (drained every 5 ms
         in the reference, src/StreamThread.cc:195-243; here called after
-        keyframe insertion)."""
+        keyframe insertion). Erased/reused slots are re-announced."""
+        kf_valid = np.asarray(state.kf_valid[:n_kf])
+        kf_seq = np.asarray(state.kf_seq[:n_kf])
         for k in range(n_kf):
-            if k not in self._sent_kfs and bool(state.kf_valid[k]):
+            if kf_valid[k] and self._sent_kfs.get(k) != int(kf_seq[k]):
                 self.server.receive(self.cid, encode_keyframe_delta(state, k, INSERT))
-                self._sent_kfs.add(k)
-        if self._sent_kfs:
-            ids = np.asarray(sorted(self._sent_kfs), np.int32)
+                self._sent_kfs[k] = int(kf_seq[k])
+        live = [k for k in sorted(self._sent_kfs) if k < n_kf and kf_valid[k]]
+        if live:
+            ids = np.asarray(live, np.int32)
             self.server.receive(self.cid, encode_pose_update(state, ids))

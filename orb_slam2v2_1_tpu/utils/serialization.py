@@ -33,14 +33,43 @@ def load_map(path: str | Path) -> tuple[MapState, dict]:
     version = int(data["format_version"])
     if version != FORMAT_VERSION:
         raise ValueError(f"unsupported map format {version}")
+    missing = [n for n in MapState._fields if f"map_{n}" not in data.files]
+    defaults = None
+    if missing:
+        # Older snapshot: take shapes/defaults for absent fields from a
+        # fresh map of the same capacity, then refresh derived caches.
+        from ..models.map_state import empty_map
+
+        defaults = empty_map(
+            int(data["map_kf_valid"].shape[0]),
+            int(data["map_mp_valid"].shape[0]),
+            int(data["map_kf_mp"].shape[1]),
+        )
     fields = {}
     for name in MapState._fields:
-        arr = data[f"map_{name}"]
-        fields[name] = jnp.asarray(arr)
+        key = f"map_{name}"
+        if key in data.files:
+            fields[name] = jnp.asarray(data[key])
+        else:
+            fields[name] = getattr(defaults, name)
     meta = {
         k[len("meta_"):]: data[k] for k in data.files if k.startswith("meta_")
     }
-    return MapState(**fields), meta
+    state = MapState(**fields)
+    if missing:
+        from ..models.map_state import refresh_covis
+
+        # Derive what we can: covis from observations; seq from slot order
+        # (old snapshots never culled, so slot order == insertion order).
+        if "kf_seq" in missing:
+            order = jnp.where(
+                state.kf_valid, jnp.arange(state.kf_valid.shape[0]), -1
+            ).astype(jnp.int32)
+            state = state._replace(
+                kf_seq=order, n_seq=jnp.int32(int(state.n_kf))
+            )
+        state = refresh_covis(state)
+    return state, meta
 
 
 def rebuild_database(state: MapState, voc, max_kf: int, n_kp: int):

@@ -41,6 +41,18 @@ class Trajectory:
             TrajectoryEntry(timestamp, ref_kf, np.asarray(T_rel, np.float64), lost)
         )
 
+    def redirect_kf(self, victim: int, parent: int, T_victim_wrt_parent):
+        """Rewrite entries referencing an erased keyframe onto its spanning-
+        tree parent: T_rel' = T_rel @ (Tcw_victim @ Twc_parent). This is the
+        reference's culled-KF chain applied eagerly at cull time instead of
+        at save time (src/System.cc:610-629), so victim slots can be reused.
+        """
+        T = np.asarray(T_victim_wrt_parent, np.float64)
+        for e in self.entries:
+            if e.ref_kf == victim:
+                e.T_rel = e.T_rel @ T
+                e.ref_kf = parent
+
     def absolute_poses(self, kf_poses: np.ndarray) -> list[tuple[float, np.ndarray]]:
         """Resolve to absolute Twc using the *current* (optimized) keyframe
         poses. Returns [(t, Twc)] skipping lost frames."""
