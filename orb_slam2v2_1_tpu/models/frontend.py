@@ -249,8 +249,7 @@ def build_frame_only(
     return _build_frame(img, depth, has_depth, K, dist, bf, config, frame_id, width, height)
 
 
-@partial(jax.jit, donate_argnames=("state",))
-def insert_keyframe_fused(
+def insert_keyframe_fused_impl(
     state: MapState,
     frame: FrameData,
     K: jax.Array,
@@ -264,7 +263,12 @@ def insert_keyframe_fused(
 
     Returns (state, kf_id, cost, victim, victim_parent, T_redirect): victim
     is the erased redundant keyframe's slot (-1 if none) so the host can
-    rewrite trajectory references (see local_mapping.cull_keyframes)."""
+    rewrite trajectory references (see local_mapping.cull_keyframes).
+
+    Raw traced body — callers embedding this in a larger program (the offline
+    scan) MUST use this, not the jitted wrapper: a jit-wrapped call inside an
+    outer trace becomes an XLA call boundary that blocks fusion and aliasing
+    of the carried MapState (measured 2x on the whole scan)."""
     from . import local_mapping
     from .map_state import refresh_covis, update_mp_stats_window
 
@@ -277,6 +281,11 @@ def insert_keyframe_fused(
     state, victim, vparent, T_redirect = local_mapping.cull_keyframes(state, kf_id)
     state = refresh_covis(state)
     return state, kf_id, cost, victim, vparent, T_redirect
+
+
+insert_keyframe_fused = partial(jax.jit, donate_argnames=("state",))(
+    insert_keyframe_fused_impl
+)
 
 
 # ---------------------------------------------------------------------------

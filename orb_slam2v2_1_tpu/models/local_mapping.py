@@ -642,7 +642,7 @@ def local_bundle_adjustment_impl(state: MapState, kf_id: jax.Array, K: jax.Array
         K=K,
         bf=bf,
     )
-    win2, cost = ba.bundle_adjust_window(win)
+    win2, cost = ba.bundle_adjust_window(win, iters1=4, iters2=6)
 
     # Write back.
     kf_pose = state.kf_pose.at[jnp.where(cam_used & ~cam_fixed, cam_kf, Kmax)].set(

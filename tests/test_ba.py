@@ -219,11 +219,19 @@ class TestWindowBA:
         win = coo_to_window(prob, n_slots=P)
 
         slot_of = ba._window_slot_of(win)
-        r, Jc, Jp, _ = ba._window_eval(win.poses, win.points, win, with_jac=True)
-        chi2 = ba._window_chi2(r, win)
-        w = win.inv_sigma2 * win.valid
-        lam = jnp.float32(1e-4)
-        dx_cam, dx_pt = ba._window_schur_step(win, slot_of, r, Jc, Jp, w, lam)
+        # Compare in f64: the planar step's closed-form 3x3 inverses and
+        # stacked-matmul accumulation order differ from numpy's dense solve
+        # enough to add a few 1e-4 of f32 noise on a tiny problem; in f64 the
+        # agreement is ~1e-6, which is what actually validates the math.
+        with jax.enable_x64(True):
+            win64 = jax.tree.map(
+                lambda a: a.astype(jnp.float64) if a.dtype == jnp.float32 else a,
+                win,
+            )
+            # robust=False -> plain information weights (inv_sigma2 * valid).
+            dx_cam, dx_pt, _ = ba._window_planar_step(
+                win64, slot_of, jnp.float64(1e-4), jnp.asarray(False)
+            )
 
         # Dense reference from the COO layout (matches TestSchurEquivalence).
         inlier = prob.obs.valid.astype(jnp.float32)
@@ -242,13 +250,13 @@ class TestWindowBA:
         W = np.repeat(w64, 3)
         H = J.T @ (J * W[:, None])
         g = J.T @ (r64.reshape(-1) * W)
-        H_d = H + float(lam) * np.diag(np.diag(H)) + 1e-8 * np.eye(n)
+        H_d = H + 1e-4 * np.diag(np.diag(H)) + 1e-8 * np.eye(n)
         dx = np.linalg.solve(H_d, -g)
         np.testing.assert_allclose(
-            np.asarray(dx_cam).reshape(-1), dx[: 6 * C], rtol=0.05, atol=5e-5
+            np.asarray(dx_cam).reshape(-1), dx[: 6 * C], rtol=1e-3, atol=1e-5
         )
         np.testing.assert_allclose(
-            np.asarray(dx_pt).reshape(-1), dx[6 * C :], rtol=0.05, atol=5e-4
+            np.asarray(dx_pt).reshape(-1), dx[6 * C :], rtol=1e-3, atol=1e-4
         )
 
 
