@@ -192,6 +192,36 @@ def compute_sim3(
     return success, S12, n_inl, n_total
 
 
+def _oldest_observer(state: MapState):
+    """(M,) slot id of each map point's OLDEST live observer.
+
+    The reference keyframe is DERIVED rather than stored: slot ids are
+    reused after culling, so a stored mp_first_kf slot may now hold an
+    unrelated keyframe. Per-point min over observers of (kf_seq * K + slot)
+    decodes to the oldest observer's slot id; points with no live observer
+    map to slot 0 (their correction is then an exact no-op only if slot 0
+    didn't move — they are invalid anyway)."""
+    Kn = state.kf_pose.shape[0]
+    M = state.mp_pos.shape[0]
+    flat_mp = jnp.where(
+        state.kf_kp_valid & (state.kf_mp >= 0) & state.kf_valid[:, None],
+        state.kf_mp,
+        M,
+    )
+    comb = (
+        state.kf_seq[:, None].astype(jnp.int32) * Kn
+        + jnp.arange(Kn, dtype=jnp.int32)[:, None]
+    )
+    comb = jnp.broadcast_to(comb, flat_mp.shape)
+    big = jnp.int32(2**31 - 1)
+    ref_comb = (
+        jnp.full(M + 1, big, jnp.int32)
+        .at[flat_mp.reshape(-1)]
+        .min(comb.reshape(-1))[:M]
+    )
+    return jnp.where(ref_comb < big, ref_comb % Kn, 0)
+
+
 @partial(jax.jit, donate_argnames=("state",))
 def correct_loop(
     state: MapState,
@@ -216,29 +246,8 @@ def correct_loop(
     se3 = lie.make_se3(R, t / s[:, None])
 
     # Correct map points through their reference KF: p' = T_new^-1 S_old p
-    # (src/LoopClosing.cc:484-504). The reference keyframe is DERIVED as the
-    # oldest live observer (slot ids are reused after culling, so the stored
-    # mp_first_kf slot may now hold an unrelated keyframe).
-    M = state.mp_pos.shape[0]
-    flat_mp = jnp.where(
-        state.kf_kp_valid & (state.kf_mp >= 0) & state.kf_valid[:, None],
-        state.kf_mp,
-        M,
-    )
-    # Per-point min over observers of (kf_seq * K + slot): decodes to the
-    # oldest observer's slot id.
-    comb = (
-        state.kf_seq[:, None].astype(jnp.int32) * Kn
-        + jnp.arange(Kn, dtype=jnp.int32)[:, None]
-    )
-    comb = jnp.broadcast_to(comb, flat_mp.shape)
-    big = jnp.int32(2**31 - 1)
-    ref_comb = (
-        jnp.full(M + 1, big, jnp.int32)
-        .at[flat_mp.reshape(-1)]
-        .min(comb.reshape(-1))[:M]
-    )
-    ref = jnp.where(ref_comb < big, ref_comb % Kn, 0)
+    # (src/LoopClosing.cc:484-504).
+    ref = _oldest_observer(state)
     T_old = old_poses[ref]
     T_new = se3[ref]
     p_cam = jnp.einsum("mij,mj->mi", T_old[:, :3, :3], state.mp_pos) + T_old[:, :3, 3]

@@ -143,17 +143,38 @@ def pose_optimization(
     `if(it==2) e->setRobustKernel(0)`).
 
     Returns (Tcw, inlier_mask, num_inliers).
+
+    This runs TWICE per tracked frame on the 30 Hz hot path, so its inner
+    loop uses the same planar layout as `_window_planar_step`: residuals and
+    the 18 pose-Jacobian entries are (O,) planes (no lane-padded (O,3,6)
+    tensors), and the 6x6 normal equations come from one (18,O)x(O,18)
+    matmul.
     """
     Tcw0 = lie.orthonormalize(Tcw0)  # see lie.project_so3 docstring
-    rmask = _res_mask(obs)
+    fx, fy = K[0], K[1]
+    pw = points[obs.pt_idx]  # (O,3), constant across iterations
+    st = obs.is_stereo.astype(jnp.float32)
+    t0, t1, t2 = obs.target[:, 0], obs.target[:, 1], obs.target[:, 2]
+    ii = jnp.arange(3)
 
-    def eval_all(Tcw):
-        pw = points[obs.pt_idx]
-        Tb = jnp.broadcast_to(Tcw, (pw.shape[0], 4, 4))
-        r, Jc, _, behind = _residual_jac_batch(Tb, pw, obs.target, K, bf)
-        r = r * rmask
-        Jc = Jc * rmask[..., None]
-        return r, Jc, behind
+    def eval_planes(Tcw):
+        """Residual planes + camera-frame coords (O,) each."""
+        pc = pw @ Tcw[:3, :3].T + Tcw[:3, 3]
+        x, y, zc = pc[:, 0], pc[:, 1], pc[:, 2]
+        z = jnp.maximum(zc, 1e-6)
+        iz = 1.0 / z
+        u = fx * x * iz + K[2]
+        v = fy * y * iz + K[3]
+        ur = u - bf * iz
+        r0 = u - t0
+        r1 = v - t1
+        r2 = (ur - t2) * st
+        chi2 = (r0 * r0 + r1 * r1 + r2 * r2) * obs.inv_sigma2
+        return (r0, r1, r2), (x, y, zc, iz), chi2
+
+    def cost_of(chi2, robust, inlier):
+        hw = _huber_weights(obs, chi2, robust)
+        return jnp.sum(chi2 * hw * obs.valid * inlier)
 
     def lm_round(carry, robust):
         Tcw, inlier = carry
@@ -164,23 +185,42 @@ def pose_optimization(
 
         def lm_iter(state):
             Tcw, lam, it, _ = state
-            r, Jc, _ = eval_all(Tcw)
-            chi2 = _chi2(r, obs)
+            (r0, r1, r2), (x, y, zc, iz), chi2 = eval_planes(Tcw)
             w = _obs_weights(obs, chi2, robust) * inlier
-            # Normal equations (6x6): H = J^T W J, g = J^T W r.
-            H = jnp.einsum("oia,oib,o->ab", Jc, Jc, w)
-            g = jnp.einsum("oia,oi,o->a", Jc, r, w)
-            cost0 = _cost(obs, chi2, robust, inlier)
+            cost0 = cost_of(chi2, robust, inlier)
 
-            def try_step(lam):
-                Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6)
-                dx = -jnp.linalg.solve(Hd, g)
-                T_new = lie.se3_exp(dx) @ Tcw
-                r1, _, _ = eval_all(T_new)
-                cost1 = _cost(obs, _chi2(r1, obs), robust, inlier)
-                return T_new, cost1
+            # Pose-Jacobian rows as planes: J[i,:3] = J_pc[i],
+            # J[i,3:] = J_pc[i] @ (-hat(pc)).
+            iz2 = iz * iz
+            a00 = fx * iz
+            a02 = -fx * x * iz2
+            a11 = fy * iz
+            a12 = -fy * y * iz2
+            a22 = a02 + bf * iz2
+            zero = jnp.zeros_like(a00)
 
-            T_new, cost1 = try_step(lam)
+            def rot_cols(b0, b1, b2):
+                return (-b1 * zc + b2 * y, b0 * zc - b2 * x, -b0 * y + b1 * x)
+
+            J0 = (a00, zero, a02) + rot_cols(a00, zero, a02)
+            J1 = (zero, a11, a12) + rot_cols(zero, a11, a12)
+            J2 = tuple(p * st for p in (a00, zero, a22) + rot_cols(a00, zero, a22))
+            Jrows = (J0, J1, J2)
+            Jstack = jnp.stack(
+                [Jrows[i][a] for i in range(3) for a in range(6)]
+            )  # (18, O)
+            Jw = Jstack * w
+            Hfull = Jw @ Jstack.T  # (18,18)
+            H = Hfull.reshape(3, 6, 3, 6)[ii, :, ii, :].sum(0)  # (6,6)
+            rstack = jnp.stack((r0, r1, r2))  # (3, O)
+            gfull = Jw @ rstack.T  # (18, 3)
+            g = gfull.reshape(3, 6, 3)[ii, :, ii].sum(0)  # (6,)
+
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6)
+            dx = -jnp.linalg.solve(Hd, g)
+            T_new = lie.se3_exp(dx) @ Tcw
+            _, _, chi2_new = eval_planes(T_new)
+            cost1 = cost_of(chi2_new, robust, inlier)
             accept = cost1 < cost0
             # Early exit once an accepted step stops improving the cost
             # (g2o's terminate criterion; saves the tail of the 10-iteration
@@ -197,10 +237,9 @@ def pose_optimization(
 
         # Re-classify every observation at the new pose (reference re-tests
         # outliers each round so they can come back).
-        r, _, behind = eval_all(Tcw)
-        chi2 = _chi2(r, obs)
+        _, (_, _, zc, _), chi2 = eval_planes(Tcw)
         th = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
-        inlier = (chi2 <= th) & ~behind & obs.valid
+        inlier = (chi2 <= th) & (zc > 1e-6) & obs.valid
         return (Tcw, inlier.astype(jnp.float32)), None
 
     carry = (Tcw0, obs.valid.astype(jnp.float32))
@@ -383,14 +422,15 @@ def _schur_solve_dense(prob: BAProblem, r, Jc, Jp, w, lam):
 
 
 @partial(jax.jit, static_argnames=("iters", "cg_iters", "robust", "dense"))
-def ba_step_count(prob: BAProblem, iters: int = 5, cg_iters: int = 24, robust: bool = True,
-                  dense: bool = False):
-    """Run `iters` LM iterations; returns updated problem + final cost.
-
-    The reference's LocalBundleAdjustment runs 5 iterations, removes chi2
-    outliers, then 10 more (src/Optimizer.cc:607-636); callers compose this
-    primitive the same way via `classify_outliers`.
-    """
+def ba_step_count_lam(
+    prob: BAProblem, lam0: jax.Array, iters: int = 5, cg_iters: int = 24,
+    robust: bool = True, dense: bool = False,
+):
+    """Run `iters` LM iterations from damping `lam0`; returns
+    (problem, cost, lam, converged). The threaded lam lets callers split a
+    long solve into abort-checkable chunks (the GBA mbStopGBA analog,
+    reference src/Optimizer.cc:118-124 checks its stop flag every iteration)
+    without restarting the damping schedule each chunk."""
     inlier0 = prob.obs.valid.astype(jnp.float32)
 
     def lm_cond(state):
@@ -414,8 +454,8 @@ def ba_step_count(prob: BAProblem, iters: int = 5, cg_iters: int = 24, robust: b
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6)
         return (prob, lam, it + 1, done)
 
-    prob, _, _, _ = jax.lax.while_loop(
-        lm_cond, lm_iter, (prob, jnp.float32(1e-4), jnp.int32(0), jnp.asarray(False))
+    prob, lam, _, converged = jax.lax.while_loop(
+        lm_cond, lm_iter, (prob, lam0, jnp.int32(0), jnp.asarray(False))
     )
     # Re-orthonormalize optimized poses; fixed cameras stay bit-identical.
     ortho = lie.orthonormalize(prob.poses)
@@ -423,6 +463,21 @@ def ba_step_count(prob: BAProblem, iters: int = 5, cg_iters: int = 24, robust: b
         poses=jnp.where(prob.cam_fixed[:, None, None], prob.poses, ortho)
     )
     _, _, _, _, cost, _, _ = _build_system(prob, robust, inlier0)
+    return prob, cost, lam, converged
+
+
+def ba_step_count(prob: BAProblem, iters: int = 5, cg_iters: int = 24, robust: bool = True,
+                  dense: bool = False):
+    """Run `iters` LM iterations; returns updated problem + final cost.
+
+    The reference's LocalBundleAdjustment runs 5 iterations, removes chi2
+    outliers, then 10 more (src/Optimizer.cc:607-636); callers compose this
+    primitive the same way via `classify_outliers`.
+    """
+    prob, cost, _, _ = ba_step_count_lam(
+        prob, jnp.float32(1e-4), iters=iters, cg_iters=cg_iters,
+        robust=robust, dense=dense,
+    )
     return prob, cost
 
 

@@ -135,9 +135,10 @@ def match_projection(
     reference src/ORBmatcher.cc:45-137 and :1330-1472."""
     from . import pallas_kernels
 
-    if pallas_kernels.enabled():
+    if pallas_kernels.match_enabled():
         # Fused Pallas path: distance + window mask + best-two reduction in
-        # one kernel — nothing (Q, N)-shaped touches HBM.
+        # one kernel — nothing (Q, N)-shaped touches HBM. Opt-in: see
+        # pallas_kernels.match_enabled() for why XLA is the default here.
         best_idx, best, second = pallas_kernels.masked_best_two(
             q_desc, q_xy_pred, q_level_pred, q_valid, radius,
             t_desc, t_xy, t_level, t_valid, level_lo, level_hi,

@@ -62,6 +62,25 @@ def enabled() -> bool:
         return False
 
 
+@functools.cache
+def match_enabled() -> bool:
+    """Use the Pallas match kernel? OFF by default (ORB_TPU_PALLAS_MATCH=1
+    opts in).
+
+    Standalone the kernel beats the XLA path 5x (0.016 ms vs 0.079 ms for a
+    1024x1024 masked search), but embedded in the fused per-frame scan it
+    acts as a scheduling barrier: one call inflates the whole tracking
+    iteration from 11.5 ms to 27.9 ms (measured on the bench scan) — the
+    surrounding ORB/frame ops lose their overlap across the Mosaic call
+    boundary. Until that interaction is fixed, the XLA twin (one bf16 MXU
+    matmul + masked reductions) is the faster whole-program choice.
+    """
+    env = os.environ.get("ORB_TPU_PALLAS_MATCH")
+    if env is not None:
+        return env not in ("0", "false", "") and enabled()
+    return False
+
+
 def _interpret() -> bool:
     return os.environ.get("ORB_TPU_PALLAS_INTERPRET", "0") not in ("0", "false", "")
 
