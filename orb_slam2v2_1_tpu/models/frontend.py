@@ -32,9 +32,9 @@ class FrameResult(NamedTuple):
     pose: jax.Array  # (4,4)
     T_rel: jax.Array  # (4,4) Tcw_frame @ Twc_refkf (trajectory bookkeeping)
     velocity: jax.Array  # (4,4) new velocity model
-    stats: jax.Array  # (8,) f32: [tracked_ok, n_inliers, n_matches,
+    stats: jax.Array  # (9,) f32: [tracked_ok, n_inliers, n_matches,
     #                 ref_matches, tracked_close, untracked_close,
-    #                 used_fallback, n_assoc]
+    #                 used_fallback, n_assoc, stage1_inliers]
 
 
 def _build_frame(img, depth, has_depth: bool, K, dist, bf, config: orb.OrbConfig,
@@ -85,11 +85,13 @@ def process_frame_impl(
     width: int,
     height: int,
     mono: bool,
+    voc=None,
+    vo_points: bool = False,
 ) -> FrameResult:
     cur = _build_frame(img, depth, has_depth, K, dist, bf, config, frame_id, width, height)
     return track_frame_impl(
         state, cur, last, velocity, have_velocity, ref_kf, K, bf, depth_limit,
-        width, height, mono,
+        width, height, mono, voc, vo_points,
     )
 
 
@@ -98,12 +100,12 @@ def process_frame_impl(
 # snapshot also referenced by the mapping/loop workers and must survive.
 process_frame = partial(
     jax.jit,
-    static_argnames=("config", "has_depth", "width", "height", "mono"),
+    static_argnames=("config", "has_depth", "width", "height", "mono", "vo_points"),
     donate_argnames=("state",),
 )(process_frame_impl)
 process_frame_shared = partial(
     jax.jit,
-    static_argnames=("config", "has_depth", "width", "height", "mono"),
+    static_argnames=("config", "has_depth", "width", "height", "mono", "vo_points"),
 )(process_frame_impl)
 
 
@@ -157,6 +159,8 @@ def track_frame_impl(
     width: int,
     height: int,
     mono: bool,
+    voc=None,
+    vo_points: bool = False,
 ) -> FrameResult:
     img_wh = jnp.asarray([width, height], jnp.float32)
 
@@ -165,7 +169,9 @@ def track_frame_impl(
     T_pred = lie.orthonormalize(velocity @ last.pose)
 
     def run_mm(radius):
-        return tracking.track_motion_model(state, cur, last, T_pred, K, bf, radius)
+        return tracking.track_motion_model(
+            state, cur, last, T_pred, K, bf, radius, vo_points
+        )
 
     Tcw, cur_mp, st1 = run_mm(r1)
     need_retry = st1.n_inliers < 10
@@ -178,7 +184,9 @@ def track_frame_impl(
     )
 
     def ref_track(_):
-        return tracking.track_reference_keyframe(state, cur, ref_kf, last.pose, K, bf)
+        return tracking.track_reference_keyframe(
+            state, cur, ref_kf, last.pose, K, bf, voc
+        )
 
     use_fallback = (st1.n_inliers < 10) | ~have_velocity
     Tcw, cur_mp, st1 = jax.lax.cond(
@@ -222,6 +230,9 @@ def track_frame_impl(
             untracked_close.astype(jnp.float32),
             use_fallback.astype(jnp.float32),
             jnp.sum((cur2.mp >= 0).astype(jnp.float32)),
+            # Stage-1 (motion-model / ref-KF) inliers: the host's mbVO
+            # localization fallback keys off this (src/Tracking.cc:434-501).
+            st1.n_inliers.astype(jnp.float32),
         ]
     )
     return FrameResult(
@@ -232,11 +243,11 @@ def track_frame_impl(
 
 track_frame = partial(
     jax.jit,
-    static_argnames=("width", "height", "mono"),
+    static_argnames=("width", "height", "mono", "vo_points"),
     donate_argnames=("state",),
 )(track_frame_impl)
 track_frame_shared = partial(
-    jax.jit, static_argnames=("width", "height", "mono")
+    jax.jit, static_argnames=("width", "height", "mono", "vo_points")
 )(track_frame_impl)
 
 
@@ -256,6 +267,7 @@ def insert_keyframe_fused_impl(
     bf: jax.Array,
     depth_limit: jax.Array,  # <=0 disables depth densification (mono)
     key: jax.Array,
+    voc=None,
 ):
     """Full keyframe-insertion pipeline in one dispatch: append, depth
     densification, point cull, triangulate, fuse, stats, local BA, keyframe
@@ -274,7 +286,7 @@ def insert_keyframe_fused_impl(
 
     state, kf_id = _append_keyframe_body(state, frame, K, bf, depth_limit)
     state = local_mapping.cull_map_points(state, kf_id)
-    state = local_mapping.create_map_points(state, kf_id, K, bf, key)
+    state = local_mapping.create_map_points(state, kf_id, K, bf, key, voc)
     state = local_mapping.fuse_map_points(state, kf_id, K, bf)
     state = update_mp_stats_window(state, kf_id)
     state, cost = local_mapping.local_bundle_adjustment_impl(state, kf_id, K, bf)
@@ -326,7 +338,7 @@ def append_keyframe_only(
 @partial(jax.jit, static_argnames=("allow_ba",))
 def mapping_pipeline(
     state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax.Array,
-    key: jax.Array, allow_ba: bool = True,
+    key: jax.Array, allow_ba: bool = True, voc=None,
 ):
     """Worker-side mapping round on an already-appended keyframe: cull,
     triangulate, fuse, stats, and (unless interrupted) local BA. Non-donating.
@@ -336,7 +348,7 @@ def mapping_pipeline(
     from .map_state import refresh_covis, update_mp_stats_window
 
     state = local_mapping.cull_map_points(state, kf_id)
-    state = local_mapping.create_map_points(state, kf_id, K, bf, key)
+    state = local_mapping.create_map_points(state, kf_id, K, bf, key, voc)
     state = local_mapping.fuse_map_points(state, kf_id, K, bf)
     state = update_mp_stats_window(state, kf_id)
     if allow_ba:

@@ -40,6 +40,7 @@ def create_map_points(
     K: jax.Array,
     bf: jax.Array,
     key: jax.Array,
+    voc=None,
 ):
     """Triangulate new map points between the new keyframe and its best
     covisible neighbors (LocalMapping::CreateNewMapPoints,
@@ -58,7 +59,7 @@ def create_map_points(
     neigh_w, neigh_idx = jax.lax.top_k(row, TRI_NEIGHBORS)
 
     good, X, m_idx = jax.vmap(
-        lambda n_kf, w: _triangulate_candidates(state, kf_id, n_kf, w > 0, K, bf)
+        lambda n_kf, w: _triangulate_candidates(state, kf_id, n_kf, w > 0, K, bf, voc)
     )(neigh_idx, neigh_w)  # (T,N) bool, (T,N,3), (T,N)
 
     # Per kf1 keypoint: keep the first (best-covisibility) proposing pair.
@@ -69,10 +70,18 @@ def create_map_points(
     m_sel = m_idx[chosen, sl]  # (N,) kf2-side slot
     kf2_sel = neigh_idx[chosen]  # (N,)
 
-    # Masked append: new point j gets slot n_mp + rank(j among good).
+    # Free-list allocation: new point j takes the rank(j)-th FREE slot.
+    # Culled points leave reusable holes (the MapPoint free-list matching
+    # the r3 keyframe slot reuse); an append-only cursor starves the map of
+    # new points once the high-water mark hits capacity — measured to kill
+    # tracking on long sequences (~160 frames at 16k capacity).
     rank = jnp.cumsum(good_any.astype(jnp.int32)) - 1
-    cap_ok = good_any & (rank < NEW_MP_CAP) & ((state.n_mp + rank) < M)
-    slot = jnp.where(cap_ok, state.n_mp + rank, M)  # M = parked/dropped
+    _, free_slots = jax.lax.top_k((~state.mp_valid).astype(jnp.int8), NEW_MP_CAP)
+    n_free = jnp.sum((~state.mp_valid).astype(jnp.int32))
+    cap_ok = good_any & (rank < NEW_MP_CAP) & (rank < n_free)
+    slot = jnp.where(
+        cap_ok, free_slots[jnp.minimum(rank, NEW_MP_CAP - 1)], M
+    )  # M = parked/dropped
 
     mp_pos = jnp.concatenate([state.mp_pos, jnp.zeros((1, 3))]).at[slot].set(X_sel)[:M]
     mp_valid = jnp.concatenate([state.mp_valid, jnp.zeros(1, bool)]).at[slot].set(True)[:M]
@@ -107,7 +116,9 @@ def create_map_points(
     kf_mp = state.kf_mp.at[neigh_idx].set(nrows)
     kf_mp = kf_mp.at[kf_id].set(jnp.where(cap_ok, new_id, state.kf_mp[kf_id]))
 
-    n_new = jnp.sum(cap_ok.astype(jnp.int32))
+    # n_mp stays the HIGH-WATER mark (several consumers use it as the
+    # contiguous-prefix bound); reused slots sit below it by construction.
+    hw = jnp.max(jnp.where(cap_ok, slot, -1)) + 1
     return state._replace(
         mp_pos=mp_pos,
         mp_valid=mp_valid,
@@ -117,13 +128,18 @@ def create_map_points(
         mp_visible=mp_vis,
         mp_found=mp_found,
         kf_mp=kf_mp,
-        n_mp=state.n_mp + n_new,
+        n_mp=jnp.maximum(state.n_mp, hw),
     )
 
 
-def _triangulate_candidates(state: MapState, kf1, kf2, pair_ok, K, bf):
+def _triangulate_candidates(state: MapState, kf1, kf2, pair_ok, K, bf, voc=None):
     """Match + triangulate + audit ONE keyframe pair, without mutating the
-    map. Returns (good (N,), X (N,3) world points, m_idx (N,) kf2 slots)."""
+    map. Returns (good (N,), X (N,3) world points, m_idx (N,) kf2 slots).
+
+    With a vocabulary, candidate pairs are additionally pruned to those
+    sharing a coarse vocabulary-tree node — the reference's
+    SearchForTriangulation FeatureVector alignment
+    (src/ORBmatcher.cc:657-825)."""
     N = state.kf_xy.shape[1]
 
     pose1 = state.kf_pose[kf1]
@@ -167,6 +183,12 @@ def _triangulate_candidates(state: MapState, kf1, kf2, pair_ok, K, bf):
     epi_ok = epi_d2 < 3.84 * sigma2_2[None, :]
 
     mask = free1[:, None] & free2[None, :] & epi_ok
+    if voc is not None:
+        from ..ops import vocab as vocab_ops
+
+        n1 = vocab_ops.assign_nodes(voc, d1)
+        n2 = vocab_ops.assign_nodes(voc, d2)
+        mask = mask & (n1[:, None] == n2[None, :])
     m = matching.match_nn(d1, d2, mask, max_dist=matching.TH_LOW, nn_ratio=1.0)
     dang = state.kf_angle[kf1] - state.kf_angle[kf2][m.idx]
     ok = matching.rotation_consistency(dang, m.ok)
@@ -257,9 +279,12 @@ def create_depth_points(state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax
     Xc = jnp.stack([xc, yc, z], -1)
     Xw = Xc @ Twc_R.T + Twc_t
 
+    # Free-list allocation (see create_map_points): culled slots are reused.
     slot_rank = jnp.cumsum(take.astype(jnp.int32)) - 1
-    ok = take & ((state.n_mp + slot_rank) < M)
-    slot = jnp.where(ok, state.n_mp + slot_rank, M)
+    _, free_slots = jax.lax.top_k((~state.mp_valid).astype(jnp.int8), DEPTH_PT_CAP)
+    n_free = jnp.sum((~state.mp_valid).astype(jnp.int32))
+    ok = take & (slot_rank < n_free) & (slot_rank < DEPTH_PT_CAP)
+    slot = jnp.where(ok, free_slots[jnp.minimum(slot_rank, DEPTH_PT_CAP - 1)], M)
     state = state._replace(
         mp_pos=jnp.concatenate([state.mp_pos, jnp.zeros((1, 3))]).at[slot].set(Xw)[:M],
         mp_valid=jnp.concatenate([state.mp_valid, jnp.zeros(1, bool)]).at[slot].set(True)[:M],
@@ -275,7 +300,7 @@ def create_depth_points(state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax
         mp_visible=jnp.concatenate([state.mp_visible, jnp.zeros(1, jnp.int32)]).at[slot].set(1)[:M],
         mp_found=jnp.concatenate([state.mp_found, jnp.zeros(1, jnp.int32)]).at[slot].set(1)[:M],
         kf_mp=state.kf_mp.at[kf_id].set(jnp.where(ok, slot, state.kf_mp[kf_id])),
-        n_mp=state.n_mp + jnp.sum(ok.astype(jnp.int32)),
+        n_mp=jnp.maximum(state.n_mp, jnp.max(jnp.where(ok, slot, -1)) + 1),
     )
     return state
 
@@ -454,12 +479,16 @@ def cull_map_points(state: MapState, current_kf: jax.Array):
     return state._replace(mp_valid=mp_valid, kf_mp=kf_mp)
 
 
-@partial(jax.jit, donate_argnames=("state",))
-def cull_keyframes(state: MapState, kf_id: jax.Array):
+@partial(jax.jit, donate_argnames=("state",), static_argnames=("force",))
+def cull_keyframes(state: MapState, kf_id: jax.Array, force: bool = False):
     """KeyFrameCulling + SetBadFlag erase (src/LocalMapping.cc:640-704,
     src/KeyFrame.cc:432-546): a local keyframe is redundant if >=90% of its
     map points are observed by >=3 other keyframes at the same or finer
-    scale. The victim (newest redundant, at most one per round) is ERASED —
+    scale. `force=True` is the bounded-memory eviction mode (a deviation the
+    fixed-capacity map needs that the reference's unbounded map doesn't):
+    when the map is full and a new keyframe is wanted, the MOST redundant
+    eligible keyframe is evicted even below the 90% bar, so the map keeps
+    adapting on long revisits. The victim (at most one per round) is ERASED —
     its observations cleared, its slot returned to the free list for reuse
     by `append_keyframe`, and its spanning-tree children re-parented to
     their best covisible older keyframe (SetBadFlag's re-parent loop,
@@ -501,7 +530,7 @@ def cull_keyframes(state: MapState, kf_id: jax.Array):
     )
     cand_mask = cand_mask & ~on_loop
 
-    def redundant(k):
+    def redundancy(k):
         mp = state.kf_mp[k]
         has = (mp >= 0) & state.kf_kp_valid[k]
         mpc = jnp.maximum(mp, 0)
@@ -509,11 +538,16 @@ def cull_keyframes(state: MapState, kf_id: jax.Array):
         well_observed = (counts[mpc] >= 4) & (min_lvl[mpc] <= state.kf_level[k] + 1)
         n_pts = jnp.maximum(jnp.sum(has.astype(jnp.int32)), 1)
         n_red = jnp.sum((has & well_observed).astype(jnp.int32))
-        return n_red.astype(jnp.float32) > 0.9 * n_pts.astype(jnp.float32)
+        return n_red.astype(jnp.float32) / n_pts.astype(jnp.float32)
 
-    red = jax.vmap(redundant)(jnp.arange(Kn)) & cand_mask
-    any_red = jnp.any(red)
-    victim = jnp.argmax(jnp.where(red, state.kf_seq, -1)).astype(jnp.int32)
+    ratio = jax.vmap(redundancy)(jnp.arange(Kn))
+    red = (ratio > 0.9) & cand_mask
+    if force:
+        any_red = jnp.any(cand_mask)
+        victim = jnp.argmax(jnp.where(cand_mask, ratio, -1.0)).astype(jnp.int32)
+    else:
+        any_red = jnp.any(red)
+        victim = jnp.argmax(jnp.where(red, state.kf_seq, -1)).astype(jnp.int32)
     parent = state.kf_parent[victim]
     T_redirect = state.kf_pose[victim] @ lie.se3_inverse(
         state.kf_pose[jnp.maximum(parent, 0)]
@@ -555,20 +589,22 @@ class LocalBAIndex(NamedTuple):
     pt_mp: jax.Array  # (P,) map-point id per point slot (-1 unused)
 
 
-def local_bundle_adjustment_impl(state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax.Array):
-    """Windowed local BA (Optimizer::LocalBundleAdjustment,
-    src/Optimizer.cc:453-780): free cameras = the KF + top covisible
+class WindowBuild(NamedTuple):
+    """Local-BA window + the bookkeeping needed to write results back."""
+
+    win: ba.BAWindow
+    cam_kf: jax.Array  # (C,) keyframe slot per window camera
+    cam_used: jax.Array  # (C,) bool
+    pt_sel: jax.Array  # (P,) map-point slot per window point
+    pt_sel_valid: jax.Array  # (P,) bool
+    kf_mp_w: jax.Array  # (C,N) original kf_mp rows (outlier detach)
+
+
+def build_local_ba_window(state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax.Array) -> WindowBuild:
+    """Window selection for local BA (Optimizer::LocalBundleAdjustment,
+    src/Optimizer.cc:455-504): free cameras = the KF + top covisible
     neighbors; points = all their observations; fixed cameras = other
-    observers of those points.
-
-    Uses the camera-major structured window (ba.BAWindow): the observation
-    set is exactly (window camera, keypoint slot), so no edge-list sort is
-    needed and the Schur blocks assemble with one packed gather.
-
-    Raw (untraced) body; use `local_bundle_adjustment` (donating jit) on the
-    linear synchronous path, or call this from a larger fused program (e.g.
-    frontend.mapping_pipeline, where the input snapshot is shared with the
-    tracking thread and must NOT be donated)."""
+    observers of those points."""
     Kmax, N = state.kf_mp.shape
     M = state.mp_pos.shape[0]
     P = min(BA_PTS, M)
@@ -642,25 +678,107 @@ def local_bundle_adjustment_impl(state: MapState, kf_id: jax.Array, K: jax.Array
         K=K,
         bf=bf,
     )
-    win2, cost = ba.bundle_adjust_window(win, iters1=4, iters2=6)
+    return WindowBuild(
+        win=win, cam_kf=cam_kf, cam_used=cam_used,
+        pt_sel=pt_sel, pt_sel_valid=pt_sel_valid, kf_mp_w=kf_mp_w,
+    )
 
-    # Write back.
-    kf_pose = state.kf_pose.at[jnp.where(cam_used & ~cam_fixed, cam_kf, Kmax)].set(
-        win2.poses, mode="drop"
+
+def writeback_local_ba(state: MapState, wb: WindowBuild, poses, points, valid):
+    """Apply optimized window results to the map: poses/points written back,
+    outlier observations detached (reference erases outlier edges after BA,
+    src/Optimizer.cc:711-737)."""
+    Kmax, N = state.kf_mp.shape
+    M = state.mp_pos.shape[0]
+    kf_pose = state.kf_pose.at[
+        jnp.where(wb.cam_used & ~wb.win.cam_fixed, wb.cam_kf, Kmax)
+    ].set(poses, mode="drop")
+    mp_pos = state.mp_pos.at[jnp.where(wb.pt_sel_valid, wb.pt_sel, M)].set(
+        points, mode="drop"
     )
-    mp_pos = state.mp_pos.at[jnp.where(pt_sel_valid, pt_sel, M)].set(
-        win2.points, mode="drop"
-    )
-    # Outlier observations detached (reference erases outlier edges after BA,
-    # src/Optimizer.cc:711-737).
-    killed = obs_valid & ~win2.valid  # (C,N)
-    new_rows = jnp.where(killed, -1, kf_mp_w)
-    kf_mp = state.kf_mp.at[jnp.where(cam_used, cam_kf, Kmax)].set(
+    killed = wb.win.valid & ~valid  # (C,N)
+    new_rows = jnp.where(killed, -1, wb.kf_mp_w)
+    kf_mp = state.kf_mp.at[jnp.where(wb.cam_used, wb.cam_kf, Kmax)].set(
         new_rows, mode="drop"
     )
-    return state._replace(kf_pose=kf_pose, mp_pos=mp_pos, kf_mp=kf_mp), cost
+    return state._replace(kf_pose=kf_pose, mp_pos=mp_pos, kf_mp=kf_mp)
+
+
+def local_bundle_adjustment_impl(state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax.Array):
+    """Windowed local BA (Optimizer::LocalBundleAdjustment,
+    src/Optimizer.cc:453-780).
+
+    Uses the camera-major structured window (ba.BAWindow): the observation
+    set is exactly (window camera, keypoint slot), so no edge-list sort is
+    needed and the Schur blocks assemble with one packed gather.
+
+    Raw (untraced) body; use `local_bundle_adjustment` (donating jit) on the
+    linear synchronous path, or call this from a larger fused program (e.g.
+    frontend.mapping_pipeline, where the input snapshot is shared with the
+    tracking thread and must NOT be donated). Multi-device deployments route
+    the solve through `parallel.dist_ba` instead — see
+    `local_bundle_adjustment_dist`."""
+    wb = build_local_ba_window(state, kf_id, K, bf)
+    win2, cost = ba.bundle_adjust_window(wb.win, iters1=4, iters2=6)
+    state = writeback_local_ba(state, wb, win2.poses, win2.points, win2.valid)
+    return state, cost
 
 
 # Donating jit for the linear synchronous path (tracking thread owns the
 # state and never re-reads the input snapshot).
 local_bundle_adjustment = jax.jit(local_bundle_adjustment_impl, donate_argnames=("state",))
+
+
+# ---------------------------------------------------------------------------
+# Multi-device local BA: the same window solved by the psum-sharded engine
+# (parallel/dist_ba.py) — observations sharded over the mesh, reduced camera
+# system all-reduced over ICI (SURVEY §2.3's distributed-BA mapping).
+# ---------------------------------------------------------------------------
+
+
+def window_to_obs(win: ba.BAWindow) -> ba.Obs:
+    """Flatten the camera-major (C,N) window into a COO edge list for the
+    observation-sharded solver. C*N stays fixed, so the shard layout is
+    static across calls."""
+    C, N = win.valid.shape
+    P = win.points.shape[0]
+    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (C, N), 0)
+    return ba.Obs(
+        cam_idx=cam_iota.reshape(-1),
+        pt_idx=jnp.where(win.valid, jnp.minimum(win.pt_idx, P - 1), 0).reshape(-1),
+        target=win.target.reshape(-1, 3),
+        inv_sigma2=win.inv_sigma2.reshape(-1),
+        is_stereo=win.is_stereo.reshape(-1),
+        valid=win.valid.reshape(-1),
+    )
+
+
+_DIST_LBA_CACHE: dict = {}
+
+
+def local_bundle_adjustment_dist(state: MapState, kf_id, K, bf, mesh):
+    """Local BA routed through the sharded LM engine on `mesh`.
+
+    Three dispatches at keyframe cadence: jitted window build -> sharded
+    solve (obs axis over the mesh) -> jitted write-back. Same LM budget as
+    the single-device path (4 robust + 6 plain iterations)."""
+    from ..parallel import dist_ba
+
+    wb = _build_local_ba_window_jit(state, jnp.int32(kf_id), K, bf)
+    key = (id(mesh), tuple(mesh.devices.flat))
+    solve = _DIST_LBA_CACHE.get(key)
+    if solve is None:
+        solve = dist_ba.make_sharded_bundle_adjust(mesh, iters1=4, iters2=6)
+        _DIST_LBA_CACHE[key] = solve
+    obs = _window_obs_jit(wb.win)
+    poses, points, valid, cost = solve(
+        wb.win.poses, wb.win.points, obs, wb.win.cam_fixed, K, bf
+    )
+    C, N = wb.win.valid.shape
+    state = _writeback_local_ba_jit(state, wb, poses, points, valid.reshape(C, N))
+    return state, cost
+
+
+_build_local_ba_window_jit = jax.jit(build_local_ba_window)
+_window_obs_jit = jax.jit(window_to_obs)
+_writeback_local_ba_jit = jax.jit(writeback_local_ba, donate_argnames=("state",))

@@ -52,16 +52,24 @@ class LoopConsistency:
 
 
 @partial(jax.jit, static_argnames=())
-def match_keyframes(state: MapState, kf1: jax.Array, kf2: jax.Array):
+def match_keyframes(state: MapState, kf1: jax.Array, kf2: jax.Array, voc=None):
     """Descriptor matching between two keyframes' map-point keypoints
     (SearchByBoW KF-KF, src/ORBmatcher.cc:522-655: TH_LOW, ratio 0.75,
-    rotation consistency)."""
+    rotation consistency; with a vocabulary, candidates are pruned to pairs
+    sharing a coarse tree node — the FeatureVector alignment)."""
+    from ..ops import vocab as vocab_ops
+
     N = state.kf_xy.shape[1]
     d1 = hamming.unpack_pm1(state.kf_desc[kf1])
     d2 = hamming.unpack_pm1(state.kf_desc[kf2])
     v1 = state.kf_kp_valid[kf1] & (state.kf_mp[kf1] >= 0)
     v2 = state.kf_kp_valid[kf2] & (state.kf_mp[kf2] >= 0)
-    m = matching.match_nn(d1, d2, v1[:, None] & v2[None, :],
+    mask = v1[:, None] & v2[None, :]
+    if voc is not None:
+        n1 = vocab_ops.assign_nodes(voc, d1)
+        n2 = vocab_ops.assign_nodes(voc, d2)
+        mask = mask & (n1[:, None] == n2[None, :])
+    m = matching.match_nn(d1, d2, mask,
                           max_dist=matching.TH_LOW, nn_ratio=0.75)
     dang = state.kf_angle[kf1] - state.kf_angle[kf2][m.idx]
     ok = matching.rotation_consistency(dang, m.ok)
@@ -72,14 +80,14 @@ def match_keyframes(state: MapState, kf1: jax.Array, kf2: jax.Array):
 @partial(jax.jit, static_argnames=("fix_scale",))
 def compute_sim3(
     state: MapState, kf_cur: jax.Array, kf_cand: jax.Array, K: jax.Array,
-    key: jax.Array, fix_scale: bool = True,
+    key: jax.Array, fix_scale: bool = True, voc=None,
 ):
     """ComputeSim3 for one candidate (src/LoopClosing.cc:241-410): match map
-    points, Horn RANSAC, widen with mutual SearchBySim3 matches
-    (src/ORBmatcher.cc:1104-1328), refine with OptimizeSim3 (>=20 inliers,
-    src/LoopClosing.cc:333-339), then a guided wider search for total
-    support (>=40, :385-395)."""
-    m = match_keyframes(state, kf_cur, kf_cand)
+    points (BoW-node aligned), Horn RANSAC, widen with mutual SearchBySim3
+    matches (src/ORBmatcher.cc:1104-1328), refine with OptimizeSim3 (>=20
+    inliers, src/LoopClosing.cc:333-339), then a guided wider search for
+    total support (>=40, :385-395)."""
+    m = match_keyframes(state, kf_cur, kf_cand, voc)
     N = state.kf_xy.shape[1]
 
     pose_c = state.kf_pose[kf_cur]
@@ -273,13 +281,22 @@ def correct_loop(
     )
 
 
-LOOP_FUSE_KFS = 16  # corrected neighborhood size (mvpCurrentConnectedKFs)
-LOOP_MP_CAP = 4096  # loop-side point set capacity (mvpLoopMapPoints)
+# Default capacities for the corrected neighborhood (mvpCurrentConnectedKFs)
+# and the loop-side point set (mvpLoopMapPoints). The host sizes the actual
+# call to cover the LIVE corrected group (see LoopCloser._fuse_caps) — these
+# are compile-bucket floors, not silent truncation caps.
+LOOP_FUSE_KFS = 16
+LOOP_MP_CAP = 4096
 
 
-@partial(jax.jit, donate_argnames=("state",))
+@partial(
+    jax.jit,
+    donate_argnames=("state",),
+    static_argnames=("fuse_kfs", "mp_cap"),
+)
 def search_and_fuse(
-    state: MapState, kf_cur: jax.Array, kf_loop: jax.Array, K: jax.Array
+    state: MapState, kf_cur: jax.Array, kf_loop: jax.Array, K: jax.Array,
+    fuse_kfs: int = LOOP_FUSE_KFS, mp_cap: int = LOOP_MP_CAP,
 ):
     """Loop fusion (LoopClosing::SearchAndFuse + the CorrectLoop merge pass,
     src/LoopClosing.cc:453-551,596-622): project the loop side's map points
@@ -298,7 +315,7 @@ def search_and_fuse(
     # Corrected neighborhood: the current KF + its best covisible keyframes.
     w = state.covis[kf_cur].at[kf_cur].set(1 << 20)
     w = jnp.where(state.kf_valid, w, -1)
-    tgt_w, tgt_kfs = jax.lax.top_k(w, min(LOOP_FUSE_KFS, Kn))
+    tgt_w, tgt_kfs = jax.lax.top_k(w, min(fuse_kfs, Kn))
     tgt_ok = tgt_w > 0
 
     # Loop-side points: observed by the loop KF's covisible group.
@@ -308,7 +325,7 @@ def search_and_fuse(
     )
     lp_mask = jnp.zeros(M + 1, bool).at[mp_in.reshape(-1)].set(True)[:M]
     lp_mask = lp_mask & state.mp_valid
-    _, lp_sel = jax.lax.top_k(lp_mask.astype(jnp.int32), min(LOOP_MP_CAP, M))
+    _, lp_sel = jax.lax.top_k(lp_mask.astype(jnp.int32), min(mp_cap, M))
     lp_ok = lp_mask[lp_sel]
     lp_pos = state.mp_pos[lp_sel]
     lp_pm1 = hamming.unpack_pm1(state.mp_desc[lp_sel])
@@ -387,20 +404,12 @@ def search_and_fuse(
     return state._replace(kf_mp=kf_mp, mp_valid=mp_valid), n_fused
 
 
-@partial(jax.jit, donate_argnames=("state",))
-def global_bundle_adjustment(state: MapState, K: jax.Array, bf: jax.Array):
-    """Whole-map BA (GlobalBundleAdjustemnt, src/Optimizer.cc:41-48: 10+10
-    iterations, oldest keyframe fixed).
-
-    Covers EVERY live keyframe, point and observation — the problem is sized
-    by the map capacity itself (no silent truncation; the r2 fixed caps
-    dropped half the map past 128 keyframes). Invalid slots ride along as
-    zero-weight observations, which costs FLOPs the MXU has to spare."""
+def build_global_ba_problem(state: MapState, K: jax.Array, bf: jax.Array) -> ba.BAProblem:
+    """Whole-map BA problem (GlobalBundleAdjustemnt, src/Optimizer.cc:41-48):
+    covers EVERY live keyframe, point and observation — sized by the map
+    capacity itself (no silent truncation). Camera slots map 1:1; gauge
+    anchor = oldest live keyframe by insertion sequence."""
     Kmax, N = state.kf_mp.shape
-    M = state.mp_pos.shape[0]
-
-    # Camera slots map 1:1 (identity indexing — capacity IS the problem
-    # size); gauge anchor = oldest live keyframe by insertion sequence.
     cam_used = state.kf_valid
     seq_key = jnp.where(cam_used, state.kf_seq, jnp.int32(2**30))
     anchor = jnp.argmin(seq_key)
@@ -425,32 +434,346 @@ def global_bundle_adjustment(state: MapState, K: jax.Array, bf: jax.Array):
         is_stereo=(state.kf_ur >= 0).reshape(-1),
         valid=flat_ok.reshape(-1),
     )
-    prob = ba.BAProblem(
+    return ba.BAProblem(
         poses=state.kf_pose, points=state.mp_pos, obs=obs,
         cam_fixed=cam_fixed, K=K, bf=bf,
     )
-    prob2, cost = ba.bundle_adjust(prob, cg_iters=32)
 
+
+def apply_global_ba_result(state: MapState, poses, points, cam_fixed):
+    """Write optimized poses/points back into the live slots."""
     kf_pose = jnp.where(
-        (cam_used & ~cam_fixed)[:, None, None], prob2.poses, state.kf_pose
+        (state.kf_valid & ~cam_fixed)[:, None, None], poses, state.kf_pose
     )
-    mp_pos = jnp.where(state.mp_valid[:, None], prob2.points, state.mp_pos)
-    return state._replace(kf_pose=kf_pose, mp_pos=mp_pos), cost
+    mp_pos = jnp.where(state.mp_valid[:, None], points, state.mp_pos)
+    return state._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def global_bundle_adjustment(state: MapState, K: jax.Array, bf: jax.Array):
+    """Single-device whole-map BA: 5 robust + 10 plain LM iterations with a
+    chi2 cull between (ba.bundle_adjust schedule). Invalid slots ride along
+    as zero-weight observations, which costs FLOPs the MXU has to spare."""
+    prob = build_global_ba_problem(state, K, bf)
+    prob2, cost = ba.bundle_adjust(prob, cg_iters=32)
+    return apply_global_ba_result(state, prob2.poses, prob2.points, prob.cam_fixed), cost
+
+
+_DIST_GBA_CACHE: dict = {}
+_build_gba_jit = jax.jit(build_global_ba_problem)
+_apply_gba_jit = jax.jit(apply_global_ba_result, donate_argnames=("state",))
+
+
+def global_bundle_adjustment_dist(state: MapState, K, bf, mesh):
+    """Whole-map BA routed through the psum-sharded LM engine
+    (parallel/dist_ba.py): observations sharded over `mesh`, reduced camera
+    system all-reduced per CG step. Same LM schedule as the single-device
+    path. Kmax*N observations are always divisible by a power-of-two mesh."""
+    from ..parallel import dist_ba
+
+    key = (id(mesh), tuple(mesh.devices.flat))
+    solve = _DIST_GBA_CACHE.get(key)
+    if solve is None:
+        solve = dist_ba.make_sharded_bundle_adjust(mesh, iters1=5, iters2=10, cg_iters=32)
+        _DIST_GBA_CACHE[key] = solve
+    prob = _build_gba_jit(state, K, bf)
+    poses, points, _, cost = solve(
+        prob.poses, prob.points, prob.obs, prob.cam_fixed, K, bf
+    )
+    return _apply_gba_jit(state, poses, points, prob.cam_fixed), cost
+
+
+def run_global_bundle_adjustment(state: MapState, K, bf, mesh=None):
+    """Routing: multi-device meshes get the sharded solve, single-device the
+    fused one. `mesh=None` auto-builds a mesh over all local devices when
+    more than one is visible (the SURVEY §2.3 ICI-collectives mapping)."""
+    if mesh is None and jax.device_count() > 1:
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+
+        mesh = _Mesh(_np.array(jax.devices()), ("obs",))
+    if mesh is not None and mesh.size > 1:
+        return global_bundle_adjustment_dist(state, K, bf, mesh)
+    return global_bundle_adjustment(state, K, bf)
+
+
+@partial(jax.jit, donate_argnames=("live",))
+def merge_gba_into_live(
+    live: MapState,
+    snap_kf_seq: jax.Array,  # (K,) snapshot kf_seq at solve start
+    snap_kf_valid: jax.Array,  # (K,)
+    snap_mp_first_seq: jax.Array,  # (M,)
+    snap_mp_valid: jax.Array,  # (M,)
+    opt_poses: jax.Array,  # (K,4,4) optimized
+    opt_points: jax.Array,  # (M,3) optimized
+    cam_fixed: jax.Array,  # (K,) the solve's fixed mask (anchor + unused)
+):
+    """Fold a detached GBA result into the LIVE map — the reference's
+    RunGlobalBundleAdjustment merge with `mTcwGBA`/`mPosGBA` staging
+    (src/LoopClosing.cc:674-758): keyframes that existed at the snapshot take
+    their optimized poses; keyframes born during the solve are corrected by
+    propagating their parent's correction down the spanning tree; map points
+    born during the solve move with their oldest live observer.
+
+    Slot reuse is handled by identity checks on kf_seq / mp_first_seq: a
+    slot whose sequence number changed holds a DIFFERENT keyframe/point than
+    the one the solver saw."""
+    par = jnp.maximum(live.kf_parent, 0)
+    same_kf = live.kf_valid & snap_kf_valid & (live.kf_seq == snap_kf_seq)
+    old_poses = live.kf_pose
+    new_poses = jnp.where((same_kf & ~cam_fixed)[:, None, None], opt_poses, old_poses)
+    updated = same_kf
+
+    # T_child_new = (T_child_old @ T_parent_old^-1) @ T_parent_new, swept
+    # down the tree until no child with an updated parent remains (tree
+    # depth-bounded; kf_seq ordering guarantees acyclicity).
+    T_rel = old_poses @ jax.vmap(lie.se3_inverse)(old_poses[par])
+
+    def todo_of(updated):
+        return live.kf_valid & ~updated & (live.kf_parent >= 0) & updated[par]
+
+    def cond(carry):
+        _, updated = carry
+        return jnp.any(todo_of(updated))
+
+    def body(carry):
+        new_poses, updated = carry
+        todo = todo_of(updated)
+        cand = jnp.einsum("kij,kjl->kil", T_rel, new_poses[par])
+        new_poses = jnp.where(todo[:, None, None], cand, new_poses)
+        return new_poses, updated | todo
+
+    new_poses, updated = jax.lax.while_loop(cond, body, (new_poses, updated))
+
+    # Points: same-identity slots take the optimized positions; points born
+    # during the solve ride their oldest live observer's correction.
+    same_mp = live.mp_valid & snap_mp_valid & (live.mp_first_seq == snap_mp_first_seq)
+    mp_pos = jnp.where(same_mp[:, None], opt_points, live.mp_pos)
+    ref = _oldest_observer(live)
+    T_old = old_poses[ref]
+    T_new = new_poses[ref]
+    p_cam = jnp.einsum("mij,mj->mi", T_old[:, :3, :3], live.mp_pos) + T_old[:, :3, 3]
+    Rn = T_new[:, :3, :3]
+    p_corr = jnp.einsum("mji,mj->mi", Rn, p_cam - T_new[:, :3, 3])
+    born = live.mp_valid & ~same_mp
+    mp_pos = jnp.where(born[:, None], p_corr, mp_pos)
+    return live._replace(kf_pose=new_poses, mp_pos=mp_pos)
+
+
+class GlobalBARunner:
+    """Detached, abortable global BA — the reference's per-loop GBA thread
+    (`new thread(&LoopClosing::RunGlobalBundleAdjustment, ...)`,
+    src/LoopClosing.cc:588) with `mbStopGBA` checked between LM chunks
+    (src/Optimizer.cc:118-124 checks its stop flag every iteration).
+
+    The solve runs on a SNAPSHOT of the map outside any structural lock —
+    keyframe insertion proceeds concurrently — in chunks of `chunk_iters` LM
+    iterations via `ba.ba_step_count_lam`'s threaded damping. `result` holds
+    (snapshot identity arrays, optimized poses/points, cam_fixed) when the
+    solve finishes un-aborted; the owner folds it in with
+    `merge_gba_into_live` under the structural lock."""
+
+    def __init__(self, K, bf, chunk_iters: int = 3, cg_iters: int = 32, mesh=None):
+        import threading
+
+        from ..runtime.native import NativeFlag
+
+        self.K = K
+        self.bf = bf
+        self.chunk_iters = chunk_iters
+        self.cg_iters = cg_iters
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        self.stop_flag = NativeFlag()  # mbStopGBA
+        self._thread: threading.Thread | None = None
+        self.result = None
+        self.aborted = False
+        self.n_runs = 0
+        self.n_aborted = 0
+
+    @property
+    def running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def start(self, snapshot: MapState):
+        import threading
+
+        assert not self.running, "GBA already in flight"
+        self.stop_flag.clear()
+        self.result = None
+        self.aborted = False
+        # Deep-copy NOW, on the caller's thread: the caller's buffers may be
+        # donated into its next device program while this solve still reads
+        # them (donation deletes the source buffer).
+        self._snapshot = jax.tree.map(jnp.copy, snapshot)
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def abort(self):
+        """Request cooperative cancellation (CorrectLoop's mbStopGBA=true,
+        src/LoopClosing.cc:424-434)."""
+        self.stop_flag.set(1)
+
+    def join(self):
+        if self._thread is not None:
+            self._thread.join()
+
+    # -- worker body (device work releases the GIL) -------------------------
+    def _chunks(self, prob, total: int, robust: bool):
+        lam = jnp.float32(1e-4)
+        done = 0
+        while done < total:
+            it = min(self.chunk_iters, total - done)
+            if self.mesh is not None:
+                from ..parallel import dist_ba
+
+                chunk = dist_ba.get_sharded_lm_chunk(
+                    self.mesh, iters=it, robust=robust, cg_iters=self.cg_iters
+                )
+                poses, points, lam, conv = chunk(
+                    prob.poses, prob.points, prob.obs, prob.cam_fixed,
+                    prob.K, prob.bf, lam,
+                )
+                prob = prob._replace(poses=poses, points=points)
+            else:
+                prob, _, lam, conv = ba.ba_step_count_lam(
+                    prob, lam, iters=it, cg_iters=self.cg_iters, robust=robust
+                )
+            jax.block_until_ready(prob.poses)
+            done += it
+            if self.stop_flag:
+                return prob, True
+            if bool(conv):
+                break
+        return prob, False
+
+    def _run(self):
+        self.n_runs += 1
+        snap = self._snapshot
+        prob = _build_gba_jit(snap, self.K, self.bf)
+        prob, aborted = self._chunks(prob, 5, robust=True)
+        if not aborted:
+            prob = ba.classify_outliers(prob)
+            prob, aborted = self._chunks(prob, 10, robust=False)
+        self.aborted = aborted
+        if aborted:
+            self.n_aborted += 1
+            return
+        self.result = (
+            snap.kf_seq, snap.kf_valid, snap.mp_first_seq, snap.mp_valid,
+            prob.poses, prob.points, prob.cam_fixed,
+        )
+
+
+def _bucket(n: int, floor: int, cap: int) -> int:
+    """Round n up to the next power-of-two bucket in [floor, cap]."""
+    b = floor
+    while b < min(n, cap):
+        b *= 2
+    return min(b, cap)
+
+
+@jax.jit
+def _fuse_sizes(state: MapState, kf_cur: jax.Array, kf_loop: jax.Array):
+    """Live sizes of the corrected KF group and the loop-side point set."""
+    Kn = state.kf_pose.shape[0]
+    M = state.mp_pos.shape[0]
+    n_grp = jnp.sum(((state.covis[kf_cur] > 0) & state.kf_valid).astype(jnp.int32)) + 1
+    grp = (state.covis[kf_loop] > 0) | (jnp.arange(Kn) == kf_loop)
+    mp_in = jnp.where(
+        (state.kf_mp >= 0) & state.kf_kp_valid & grp[:, None], state.kf_mp, M
+    )
+    lp = jnp.zeros(M + 1, bool).at[mp_in.reshape(-1)].set(True)[:M] & state.mp_valid
+    return n_grp, jnp.sum(lp.astype(jnp.int32))
+
+
+def _fuse_caps(state: MapState, kf_cur: int, kf_loop: int):
+    """Static fuse capacities covering the live corrected set (bucketed so
+    recompiles are bounded by log2 of the capacity range)."""
+    n_grp, n_lp = _fuse_sizes(state, jnp.int32(kf_cur), jnp.int32(kf_loop))
+    Kn = state.kf_pose.shape[0]
+    M = state.mp_pos.shape[0]
+    return (
+        _bucket(int(n_grp), LOOP_FUSE_KFS, Kn),
+        _bucket(int(n_lp), LOOP_MP_CAP, M),
+    )
 
 
 class LoopCloser:
     """Host-side orchestration of the loop pipeline (the LoopClosing thread
     analog). Call `on_keyframe` after each insertion."""
 
-    def __init__(self, vocab, db, fix_scale: bool, K, bf):
+    def __init__(self, vocab, db, fix_scale: bool, K, bf, mesh=None):
         self.vocab = vocab
         self.db = db
         self.fix_scale = fix_scale
         self.K = K
         self.bf = bf
+        # Device mesh for the distributed GBA route (None = auto: sharded
+        # when >1 device is visible, fused single-device otherwise).
+        self.mesh = mesh
+        # Detached GBA (async runtime): the solve runs on its own thread on a
+        # snapshot, abortable between LM chunks; results are merged by
+        # `service_gba` (the reference's detached RunGlobalBundleAdjustment
+        # thread, src/LoopClosing.cc:588,654-758).
+        self.detached_gba = False
+        self.gba_runner: GlobalBARunner | None = None
+        self._gba_pending = False
+        self.n_gba_merged = 0
         self.consistency = LoopConsistency()
-        self.last_loop_kf = -1e9
+        # Cooldown bookkeeping in MONOTONE insertion order: slot ids are
+        # reused by the free list (map_state.append_keyframe), so "kf_id -
+        # last_loop_kf" over slots is meaningless; count insertions instead.
+        self.kf_counter = 0
+        self.last_loop_seq = -(1 << 30)
         self.n_loops_closed = 0
+
+    def enable_detached_gba(self, chunk_iters: int = 3):
+        self.detached_gba = True
+        if self.gba_runner is None:
+            self.gba_runner = GlobalBARunner(
+                self.K, self.bf, chunk_iters=chunk_iters, mesh=self.mesh
+            )
+
+    def service_gba(self, box) -> bool:
+        """Run OUTSIDE the structural lock (loop worker, after on_keyframe):
+        merge a finished detached solve into the live map and/or start a
+        pending one. Returns True if a result was merged."""
+        r = self.gba_runner
+        if r is None:
+            return False
+        merged = False
+        if not r.running and r.result is not None and not self._gba_pending:
+            res, r.result = r.result, None
+            box.mutate(lambda live: merge_gba_into_live(live, *res))
+            self.n_gba_merged += 1
+            merged = True
+        if self._gba_pending:
+            if r.running:
+                # A newer loop superseded the in-flight solve: cooperative
+                # abort (CorrectLoop waits on mbStopGBA, LoopClosing.cc:424).
+                r.abort()
+                r.join()
+            r.result = None  # a stale pre-correction result is worthless
+            self._gba_pending = False
+            snap, _ = box.read()
+            r.start(snap)
+        return merged
+
+    def finalize_gba(self, box):
+        """Shutdown barrier: let any in-flight/pending solve finish and merge
+        it (System::Shutdown waits for the GBA thread, src/System.cc:570-596)."""
+        r = self.gba_runner
+        if r is None:
+            return
+        if self._gba_pending and not r.running:
+            self._gba_pending = False
+            snap, _ = box.read()
+            r.start(snap)
+        r.join()
+        if r.result is not None:
+            res, r.result = r.result, None
+            box.mutate(lambda live: merge_gba_into_live(live, *res))
+            self.n_gba_merged += 1
 
     def on_keyframe(self, state: MapState, kf_id: int, n_kf: int):
         """One LoopClosing round for a freshly inserted keyframe.
@@ -463,8 +786,10 @@ class LoopCloser:
             state.kf_desc[kf_id], state.kf_kp_valid[kf_id],
         )
         # Reference skips detection within 10 KFs of the last loop
-        # (src/LoopClosing.cc:118-124).
-        if n_kf < 12 or kf_id - self.last_loop_kf < 10:
+        # (src/LoopClosing.cc:118-124). Counted in insertion order, not slot
+        # ids (slots are reused after culling).
+        self.kf_counter += 1
+        if n_kf < 12 or self.kf_counter - self.last_loop_seq < 10:
             self.consistency.update([])
             return state, False
 
@@ -491,6 +816,7 @@ class LoopCloser:
             success, S12, n_inl, n_total = compute_sim3(
                 state, jnp.int32(kf_id), jnp.int32(cand), self.K,
                 jax.random.key(kf_id * 131 + cand), fix_scale=self.fix_scale,
+                voc=self.vocab,
             )
             if bool(success):
                 from .map_state import refresh_covis
@@ -499,14 +825,28 @@ class LoopCloser:
                     state, jnp.int32(kf_id), jnp.int32(cand), S12
                 )
                 # Fuse the duplicated landmarks the loop created
-                # (SearchAndFuse, src/LoopClosing.cc:453-551,596-622), then
-                # refresh the covisibility cache the fusion changed.
+                # (SearchAndFuse, src/LoopClosing.cc:453-551,596-622) over
+                # the FULL corrected group + all loop-side points (the
+                # reference never truncates this set): capacities sized from
+                # the live map, rounded up to compile buckets. Then refresh
+                # the covisibility cache the fusion changed.
+                fuse_kfs, mp_cap = _fuse_caps(state, kf_id, cand)
                 state, _ = search_and_fuse(
-                    state, jnp.int32(kf_id), jnp.int32(cand), self.K
+                    state, jnp.int32(kf_id), jnp.int32(cand), self.K,
+                    fuse_kfs=fuse_kfs, mp_cap=mp_cap,
                 )
                 state = refresh_covis(state)
-                state, _ = global_bundle_adjustment(state, self.K, self.bf)
-                self.last_loop_kf = kf_id
+                if self.detached_gba:
+                    # GBA runs detached on a post-correction snapshot; the
+                    # worker starts/aborts/merges it via service_gba OUTSIDE
+                    # the structural lock, so keyframe insertion never stalls
+                    # behind the solve.
+                    self._gba_pending = True
+                else:
+                    state, _ = run_global_bundle_adjustment(
+                        state, self.K, self.bf, mesh=self.mesh
+                    )
+                self.last_loop_seq = self.kf_counter
                 self.n_loops_closed += 1
                 self.consistency = LoopConsistency()
                 return state, True

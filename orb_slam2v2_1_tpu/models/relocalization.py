@@ -47,6 +47,51 @@ def _match_and_pnp(state: MapState, frame: FrameData, kf: jax.Array, K: jax.Arra
                               frame.kp_valid & res.inliers)
     Tcw, inlier_mask, n_inl = ba.pose_optimization(res.Tcw, state.mp_pos, obs, K, bf)
     frame_mp = jnp.where(inlier_mask | (frame_mp < 0), frame_mp, -1)
+
+    # Guided widening cascade (src/Tracking.cc:1586-1633): with a coarse
+    # pose in hand, project ALL the candidate keyframe's map points into the
+    # frame (radius 10) to recover matches the ratio-test search missed,
+    # then re-optimize. The reference runs this whenever the first pass
+    # lands in (10, 50) inliers; running it unconditionally is the same
+    # result with fixed-shape control flow.
+    from ..ops.projection import project
+    from .tracking import SCALE
+
+    q_mp_kf = state.kf_mp[kf]
+    q_ok = kf_has & state.mp_valid[jnp.maximum(q_mp_kf, 0)]
+    pw_kf = state.mp_pos[jnp.maximum(q_mp_kf, 0)]
+    uv = project(Tcw, pw_kf, K)
+    z = (Tcw[2, :3] @ pw_kf.T) + Tcw[2, 3]
+    M = state.mp_pos.shape[0]
+    already = jnp.zeros(M + 1, bool).at[
+        jnp.where(frame_mp >= 0, frame_mp, M)
+    ].set(True)
+    mm = matching.match_projection(
+        q_desc=d_kf,
+        q_xy_pred=uv,
+        q_level_pred=state.kf_level[kf],
+        q_valid=q_ok & (z > 0) & ~already[jnp.maximum(q_mp_kf, 0)],
+        t_desc=frame.desc_pm1,
+        t_xy=frame.xy,
+        t_level=frame.level,
+        t_valid=frame.kp_valid & (frame_mp < 0),
+        radius=10.0 * SCALE ** jnp.clip(
+            state.kf_level[kf], 0, N_LEVELS - 1
+        ).astype(jnp.float32),
+        max_dist=matching.TH_HIGH,
+        nn_ratio=1.0,
+    )
+    frame_mp2 = frame_mp.at[jnp.where(mm.ok, mm.idx, N)].set(
+        jnp.where(mm.ok, q_mp_kf, -1), mode="drop"
+    )
+    obs2 = make_obs_from_frame(frame.xy, frame.ur, frame.level, frame_mp2,
+                               frame.kp_valid)
+    Tcw2, inlier2, n_inl2 = ba.pose_optimization(Tcw, state.mp_pos, obs2, K, bf)
+    frame_mp2 = jnp.where(inlier2 | (frame_mp2 < 0), frame_mp2, -1)
+    better = n_inl2 >= n_inl
+    Tcw = jnp.where(better, Tcw2, Tcw)
+    frame_mp = jnp.where(better, frame_mp2, frame_mp)
+    n_inl = jnp.maximum(n_inl2, n_inl)
     return res.success, Tcw, frame_mp, n_inl
 
 
@@ -69,6 +114,11 @@ def relocalize(state: MapState, db, voc, frame: FrameData, K, bf, frame_id: int)
             state, frame, jnp.int32(int(kf)), K, bf,
             jax.random.key(frame_id * 97 + int(kf)),
         )
-        if bool(success) and int(n_inl) >= 50:
+        # Accept on the refined inlier count alone (reference nGood>=50,
+        # src/Tracking.cc:1637-1644): 50 observations inside the chi2 gate
+        # after 4 rounds of re-classification IS the pose verification; the
+        # RANSAC convergence flag is a seed-dependent early-exit signal, not
+        # a quality statement.
+        if int(n_inl) >= 50:
             return True, Tcw, frame_mp, int(kf)
     return False, None, None, None

@@ -91,6 +91,12 @@ class SlamSystem:
         self._odom_Tcw = None
         self._last_Tcw = None
         self._pending_redirects = []
+        self._vo_mode = False  # mbVO analog (src/Tracking.cc:434-501)
+        self.n_resets = 0
+        # Live pose publication (the TF / nav_msgs::Odometry / PoseStamped
+        # surface, src/ros_rgbd.cc:140-198): callbacks invoked once per
+        # processed frame with the current pose sample.
+        self._pose_listeners = []
         if self.async_mapping:
             self._start_async()
 
@@ -132,7 +138,7 @@ class SlamSystem:
         def mapping_fn(state, kf_id, allow_ba):
             state, victim, vparent, T_red = frontend.mapping_pipeline(
                 state, jnp.int32(kf_id), self._K, self._bf,
-                jax.random.key(kf_id), allow_ba,
+                jax.random.key(kf_id), allow_ba, voc=self.vocab,
             )
             v = int(victim)
             if v >= 0:
@@ -144,11 +150,24 @@ class SlamSystem:
             return state
 
         loop_fn = None
+        loop_service_fn = None
         if self.loop_closer is not None:
+            # Async mode detaches GBA from the loop worker's structural lock:
+            # the solve runs on its own thread in abortable chunks and merges
+            # when done (the reference's detached GBA thread,
+            # src/LoopClosing.cc:588).
+            self.loop_closer.enable_detached_gba()
+
             def loop_fn(state, kf_id):
                 return self.loop_closer.on_keyframe(state, int(kf_id), self.n_kf_host)
 
-        self._mapper = AsyncMapper(self._box, mapping_fn, loop_fn=loop_fn)
+            def loop_service_fn():
+                self.loop_closer.service_gba(self._box)
+
+        self._mapper = AsyncMapper(
+            self._box, mapping_fn, loop_fn=loop_fn,
+            loop_service_fn=loop_service_fn,
+        )
 
     def _refresh_from_box(self):
         if self._box is not None:
@@ -159,6 +178,10 @@ class SlamSystem:
         barrier, src/System.cc:570-596) and adopt the final map."""
         if self._mapper is not None:
             self._mapper.shutdown(drain=drain)
+            if self.loop_closer is not None:
+                # Let a detached GBA finish and fold in (System::Shutdown
+                # waits for the GBA thread, src/System.cc:570-596).
+                self.loop_closer.finalize_gba(self._box)
             self.map, _ = self._box.read()
             self.n_loops_closed = self._mapper.n_loops
             self._mapper = None
@@ -181,11 +204,27 @@ class SlamSystem:
         """Pull the server's (optionally merged) map and hot-swap it in —
         the CLIENT_MAP<cid> / ReceiveMapCallback path (src/System.cc:
         1003-1066). Starts tracking in LOST state for relocalization."""
+        self._adopt_map_bytes(self._stream.request_map(merge_with=merge_with))
+
+    def poll_server_push(self) -> bool:
+        """Check for an operator-initiated map push and hot-swap it in
+        (the CREATE_MAP_REQUEST/SendMap/ReceiveMapCallback path triggered by
+        the server operator's Send, src/ServerViewer.cc:132-137). Called
+        automatically at keyframe cadence while connected; returns True if a
+        map was adopted."""
+        if self._stream is None:
+            return False
+        payload = self._stream.poll_push()
+        if payload is None:
+            return False
+        self._adopt_map_bytes(payload)
+        return True
+
+    def _adopt_map_bytes(self, payload: bytes):
         import io as _io
 
         from ..utils import serialization
 
-        payload = self._stream.request_map(merge_with=merge_with)
         self.map, meta = serialization.load_map(_io.BytesIO(payload))
         self.ref_kf = int(meta.get("ref_kf", 0))
         self.n_kf_host = int(meta.get("n_kf_host", int(self.map.n_kf)))
@@ -292,7 +331,9 @@ class SlamSystem:
             self._velocity_dev = jnp.eye(4)
             self._have_velocity = False
             self._record(timestamp, self.last_frame.pose)
-            return np.asarray(self.last_frame.pose)
+            out = np.asarray(self.last_frame.pose)
+            self._publish_pose(timestamp, out)
+            return out
 
         if self.last_frame is None:
             # Fresh map load: no prior frame; seed with an empty one so the
@@ -311,9 +352,15 @@ class SlamSystem:
             jnp.int32(self.ref_kf), self._K, self._dist, self._bf,
             jnp.float32(self._depth_limit), jnp.int32(self.frame_id),
             self._orb_cfg, has_depth, c.width, c.height,
-            self.sensor == Sensor.MONOCULAR,
+            self.sensor == Sensor.MONOCULAR, self.vocab,
+            vo_points=self._vo_points_enabled(),
         )
         return self._handle_result(res, timestamp)
+
+    def _vo_points_enabled(self) -> bool:
+        """Temporal VO points (mbVO, src/Tracking.cc:434-501): localization
+        mode on a depth-capable sensor."""
+        return self.localization_only and self.sensor != Sensor.MONOCULAR
 
     def _step_built(self, frame, timestamp: float):
         """Shared tracking for a pre-built frame (stereo path)."""
@@ -330,7 +377,9 @@ class SlamSystem:
             self._velocity_dev = jnp.eye(4)
             self._have_velocity = False
             self._record(timestamp, self.last_frame.pose)
-            return np.asarray(self.last_frame.pose)
+            out = np.asarray(self.last_frame.pose)
+            self._publish_pose(timestamp, out)
+            return out
         if self.last_frame is None:
             self.last_frame = frame
         self._refresh_from_box()
@@ -340,11 +389,17 @@ class SlamSystem:
             self._velocity_dev, jnp.asarray(self._have_velocity),
             jnp.int32(self.ref_kf), self._K, self._bf,
             jnp.float32(self._depth_limit), c.width, c.height,
-            self.sensor == Sensor.MONOCULAR,
+            self.sensor == Sensor.MONOCULAR, self.vocab,
+            vo_points=self._vo_points_enabled(),
         )
         return self._handle_result(res, timestamp)
 
     def _handle_result(self, res, timestamp: float):
+        out = self._handle_result_impl(res, timestamp)
+        self._publish_pose(timestamp, out)
+        return out
+
+    def _handle_result_impl(self, res, timestamp: float):
         stats = np.asarray(res.stats)  # the single per-frame sync point
         while self._pending_redirects:
             self._apply_cull(*self._pending_redirects.pop(0))
@@ -364,6 +419,43 @@ class SlamSystem:
             self.map = res.state
         tracked_ok = stats[0] > 0
         n_inliers = int(stats[1])
+
+        # mbVO localization fallback (src/Tracking.cc:434-501): in
+        # localization-only mode, when the local map no longer supports the
+        # pose but frame-to-frame odometry still does, keep emitting the
+        # odometry pose ("visual odometry" mode) and try to re-anchor via
+        # relocalization every frame; a successful reloc ends VO mode.
+        if self.localization_only and not tracked_ok and stats[8] >= 20:
+            self._vo_mode = True
+            if self.loop_closer is not None:
+                from . import relocalization
+
+                ok_r, Tcw_r, frame_mp, ref = relocalization.relocalize(
+                    self.map, self.loop_closer.db, self.vocab, res.frame,
+                    self._K, self._bf, self.frame_id,
+                )
+                if ok_r:
+                    self._vo_mode = False
+                    self.state = TrackState.OK
+                    self.ref_kf = ref
+                    self.last_frame = res.frame._replace(pose=Tcw_r, mp=frame_mp)
+                    self._have_velocity = False
+                    self._last_Tcw = None
+                    self.frame_id += 1
+                    self._record(timestamp, Tcw_r)
+                    self._update_odom(np.asarray(Tcw_r))
+                    return np.asarray(Tcw_r)
+            # Ride the motion model (the reference's mbVO=true branch).
+            self.state = TrackState.OK
+            self._velocity_dev = res.velocity
+            self._have_velocity = True
+            self.last_frame = res.frame
+            self.trajectory.append_rel(timestamp, self.ref_kf, res.T_rel)
+            self._update_odom(np.asarray(res.pose))
+            self.frame_id += 1
+            return np.asarray(res.pose)
+        if tracked_ok:
+            self._vo_mode = False
 
         if not tracked_ok:
             # Relocalization attempt (Tracking::Relocalization on LOST,
@@ -390,6 +482,16 @@ class SlamSystem:
                     self._record(timestamp, Tcw_r)
                     self._update_odom(np.asarray(Tcw_r))
                     return np.asarray(Tcw_r)
+            # Early-loss auto-reset (src/Tracking.cc:614-622): losing track
+            # right after initialization means the young map is bad — wipe
+            # it and re-initialize instead of relocalizing against garbage.
+            if (
+                not self.localization_only
+                and self.n_kf_host <= 5
+                and self.state == TrackState.OK
+            ):
+                self.reset()
+                return None
             self.state = TrackState.LOST
             self._have_velocity = False
             self._last_Tcw = None  # odom chain must not bridge the gap
@@ -430,6 +532,30 @@ class SlamSystem:
         return np.asarray(res.pose)
 
     # ------------------------------------------------------------------
+    # Live pose publication (ROS TF/Odometry/PoseArray analog,
+    # src/ros_rgbd.cc:140-198,444-513).
+    def add_pose_listener(self, fn):
+        """Register fn(sample: dict) called after EVERY processed frame with
+        {"timestamp", "Tcw" (4,4) | None, "odom" (4,4) | None,
+        "state": TrackState, "n_kf", "n_loops"} — the per-frame publication
+        the reference pushes on /tf, /VisualOdometry and the stamped pose
+        topics."""
+        self._pose_listeners.append(fn)
+
+    def _publish_pose(self, timestamp, Tcw):
+        if not self._pose_listeners:
+            return
+        sample = {
+            "timestamp": timestamp,
+            "Tcw": None if Tcw is None else np.asarray(Tcw),
+            "odom": self.odom_pose,
+            "state": self.state,
+            "n_kf": self.n_kf_host,
+            "n_loops": self.n_loops_closed,
+        }
+        for fn in self._pose_listeners:
+            fn(sample)
+
     def activate_localization_mode(self):
         """Tracking-only mode: no new keyframes or map mutation
         (System::ActivateLocalizationMode, src/System.cc:539-547)."""
@@ -452,7 +578,16 @@ class SlamSystem:
         self._have_velocity = False
         self._last_Tcw = None
         self._pending_redirects = []
+        self._vo_mode = False
+        self.n_resets += 1
         self.trajectory = Trajectory()
+        if (
+            self.loop_closer is not None
+            and self.loop_closer.gba_runner is not None
+        ):
+            # Abort any detached solve before discarding the old closer.
+            self.loop_closer.gba_runner.abort()
+            self.loop_closer.gba_runner.join()
         self._init_recognition()
         if self._mapper is not None:
             self._mapper.shutdown(drain=False)
@@ -465,8 +600,6 @@ class SlamSystem:
     def _need_new_keyframe_stats(self, stats) -> bool:
         """NeedNewKeyFrame on the fused stats vector (same thresholds as
         src/Tracking.cc:1120-1204)."""
-        if self.n_kf_host >= self.config.max_keyframes - 2:
-            return False
         n_inliers = stats[1]
         ref_matches = stats[3]
         frames_since = self.frame_id - self.last_kf_frame
@@ -480,7 +613,37 @@ class SlamSystem:
             and stats[4] < 100
             and stats[5] > 70
         )
-        return (c1b and (c2 or need_close)) or c1a
+        need = (c1b and (c2 or need_close)) or c1a
+        if need and self.n_kf_host >= self.config.max_keyframes - 2:
+            # Cull-on-full: erase one redundant keyframe so the map keeps
+            # adapting on revisits instead of freezing at capacity; the
+            # freed slot serves the next insertion.
+            self._cull_one()
+            return False
+        return need
+
+    def _cull_one(self):
+        """One KeyFrameCulling round outside the insertion pipeline
+        (bounded-memory analog of src/LocalMapping.cc:640-704 on a full map)."""
+        if self.async_mapping:
+            victim_cell = [None]
+
+            def step(state):
+                s2, victim, vparent, T_red = local_mapping.cull_keyframes(
+                    state, jnp.int32(self.ref_kf), force=True
+                )
+                victim_cell[0] = (int(victim), int(vparent), np.asarray(T_red))
+                return s2
+
+            self.map = self._box.mutate(step)
+            self._map_version = self._box.version
+            v, p, T = victim_cell[0]
+            self._apply_cull(v, p, T)
+        else:
+            self.map, victim, vparent, T_red = local_mapping.cull_keyframes(
+                self.map, jnp.int32(self.ref_kf), force=True
+            )
+            self._apply_cull(int(victim), int(vparent), T_red)
 
     def _insert_keyframe_fused(self, frame):
         from . import frontend
@@ -492,6 +655,7 @@ class SlamSystem:
                     self._depth_limit if self.sensor != Sensor.MONOCULAR else 0.0
                 ),
                 jax.random.key(self.frame_id),
+                self.vocab,
             )
         )
         self.ref_kf = int(kf_id)
@@ -517,6 +681,9 @@ class SlamSystem:
             self._stream.send_keyframe(self.map, self.ref_kf)
             live = np.where(np.asarray(self.map.kf_valid))[0]
             self._stream.send_pose_update(self.map, live)
+            # Operator pushes arrive at keyframe cadence (poll transport for
+            # the CLIENT_MAP<cid> subscription).
+            self.poll_server_push()
 
     def _insert_keyframe_async(self, frame):
         """Tracking-side keyframe creation: structural append, then hand the

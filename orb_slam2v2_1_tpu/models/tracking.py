@@ -69,7 +69,7 @@ def make_obs_from_frame(frame_xy, frame_ur, frame_level, mp_ids, valid):
     )
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("vo_points",))
 def track_motion_model(
     state: MapState,
     cur: FrameData,
@@ -78,20 +78,40 @@ def track_motion_model(
     K: jax.Array,
     bf: jax.Array,
     radius_th: jax.Array,  # 7 (retried at 14 by the host on failure)
+    vo_points: bool = False,
 ):
     """SearchByProjection(cur, last, th) + PoseOptimization.
 
     Reference: Tracking::TrackWithMotionModel (src/Tracking.cc:1010-1071),
     ORBmatcher::SearchByProjection frame->frame overload
     (src/ORBmatcher.cc:1330-1472).
+
+    `vo_points=True` (localization-only mode, stereo/RGB-D) additionally
+    tracks against TEMPORAL points unprojected from the last frame's depth —
+    the reference's "visual odometry" points that keep localization alive
+    through unmapped stretches (UpdateLastFrame, src/Tracking.cc:962-1008;
+    the mbVO mechanism, :434-501). VO matches steer the pose but are never
+    written into the map-association output.
     """
     # Project last frame's map points with the predicted pose.
     q_mp = last.mp
-    q_has = (q_mp >= 0) & last.kp_valid
+    has_mp = (q_mp >= 0) & last.kp_valid & state.mp_valid[jnp.maximum(q_mp, 0)]
     pw = state.mp_pos[jnp.maximum(q_mp, 0)]
+    if vo_points:
+        Twc_R = last.pose[:3, :3].T
+        Twc_t = -Twc_R @ last.pose[:3, 3]
+        z = last.depth
+        xc = (last.xy[:, 0] - K[2]) * z / K[0]
+        yc = (last.xy[:, 1] - K[3]) * z / K[1]
+        pw_vo = jnp.stack([xc, yc, z], -1) @ Twc_R.T + Twc_t
+        use_vo = ~has_mp & last.kp_valid & (z > 0)
+        pw = jnp.where(use_vo[:, None], pw_vo, pw)
+        q_has = has_mp | use_vo
+    else:
+        q_has = has_mp
     pred_xy = project(T_pred, pw, K)
     pc_z = (T_pred[2, :3] @ pw.T) + T_pred[2, 3]
-    q_has = q_has & (pc_z > 0) & state.mp_valid[jnp.maximum(q_mp, 0)]
+    q_has = q_has & (pc_z > 0)
 
     radius = radius_th * SCALE ** last.level.astype(jnp.float32)
     m = matching.match_projection(
@@ -110,15 +130,39 @@ def track_motion_model(
     # Rotation-consistency filter.
     dang = last.angle - cur.angle[m.idx]
     ok = matching.rotation_consistency(dang, m.ok)
+    N = cur.mp.shape[0]
+    n_matches = jnp.sum(ok.astype(jnp.int32))
+
+    if vo_points:
+        # Optimize in LAST-slot space over explicit positions so temporal VO
+        # points (which have no map id) contribute to the pose; only real
+        # map-point matches become associations of the current frame.
+        tgt_lvl = cur.level[m.idx]
+        tgt_ur = cur.ur[m.idx]
+        obs = ba.Obs(
+            cam_idx=jnp.zeros(N, jnp.int32),
+            pt_idx=jnp.arange(N, dtype=jnp.int32),
+            target=jnp.concatenate(
+                [cur.xy[m.idx], tgt_ur[:, None]], axis=-1
+            ),
+            inv_sigma2=INV_LEVEL_SIGMA2[jnp.clip(tgt_lvl, 0, N_LEVELS - 1)],
+            is_stereo=tgt_ur >= 0,
+            valid=ok,
+        )
+        Tcw, inlier_last, n_inliers = ba.pose_optimization(T_pred, pw, obs, K, bf)
+        okm = ok & has_mp & inlier_last
+        cur_mp = jnp.full_like(cur.mp, -1)
+        cur_mp = cur_mp.at[jnp.where(okm, m.idx, N)].set(
+            jnp.where(okm, q_mp, -1), mode="drop"
+        )
+        return Tcw, cur_mp, TrackStats(n_matches=n_matches, n_inliers=n_inliers)
 
     # Move associations onto current-frame slots. Rows are one-to-one after
     # resolve_duplicates; invalid rows scatter out of bounds and are dropped.
-    N = cur.mp.shape[0]
     cur_mp = jnp.full_like(cur.mp, -1)
     cur_mp = cur_mp.at[jnp.where(ok, m.idx, N)].set(
         jnp.where(ok, q_mp, -1), mode="drop"
     )
-    n_matches = jnp.sum(ok.astype(jnp.int32))
 
     obs = make_obs_from_frame(cur.xy, cur.ur, cur.level, cur_mp, cur.kp_valid)
     Tcw, inlier_mask, n_inliers = ba.pose_optimization(
@@ -136,13 +180,16 @@ def track_reference_keyframe(
     T_init: jax.Array,
     K: jax.Array,
     bf: jax.Array,
+    voc=None,
 ):
     """Match against the reference keyframe without a motion prior.
 
     Analog of Tracking::TrackReferenceKeyFrame (src/Tracking.cc:900-942),
-    which uses SearchByBoW; without a vocabulary yet we use a windowless
-    descriptor search with the stricter TH_LOW + 0.7 ratio the BoW search
-    employs, plus rotation consistency.
+    which uses SearchByBoW (src/ORBmatcher.cc:159-288): with a vocabulary,
+    candidate pairs are pruned to those sharing a coarse vocabulary-tree
+    node (the FeatureVector alignment, expressed as a mask on the dense
+    match matrix); the TH_LOW + 0.7 ratio and rotation consistency are the
+    BoW search's own thresholds.
     """
     N = cur.xy.shape[0]
     q_desc = hamming.unpack_pm1(state.kf_desc[ref_kf])
@@ -150,6 +197,12 @@ def track_reference_keyframe(
     q_valid = (q_mp >= 0) & state.kf_kp_valid[ref_kf] & state.mp_valid[jnp.maximum(q_mp, 0)]
 
     mask = q_valid[:, None] & cur.kp_valid[None, :]
+    if voc is not None:
+        from ..ops import vocab as vocab_ops
+
+        nq = vocab_ops.assign_nodes(voc, q_desc)
+        nt = vocab_ops.assign_nodes(voc, cur.desc_pm1)
+        mask = mask & (nq[:, None] == nt[None, :])
     m = matching.match_nn(q_desc, cur.desc_pm1, mask, max_dist=matching.TH_LOW, nn_ratio=0.7)
     dang = state.kf_angle[ref_kf] - cur.angle[m.idx]
     ok = matching.rotation_consistency(dang, m.ok)

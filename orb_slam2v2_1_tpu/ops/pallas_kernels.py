@@ -64,16 +64,19 @@ def enabled() -> bool:
 
 @functools.cache
 def match_enabled() -> bool:
-    """Use the Pallas match kernel? OFF by default (ORB_TPU_PALLAS_MATCH=1
-    opts in).
+    """Use the Pallas match kernel? OFF by default — RETIRED from the hot
+    path (ORB_TPU_PALLAS_MATCH=1 opts back in for kernel-level work).
 
     Standalone the kernel beats the XLA path 5x (0.016 ms vs 0.079 ms for a
     1024x1024 masked search), but embedded in the fused per-frame scan it
-    acts as a scheduling barrier: one call inflates the whole tracking
-    iteration from 11.5 ms to 27.9 ms (measured on the bench scan) — the
-    surrounding ORB/frame ops lose their overlap across the Mosaic call
-    boundary. Until that interaction is fixed, the XLA twin (one bf16 MXU
-    matmul + masked reductions) is the faster whole-program choice.
+    acts as a scheduling barrier: the surrounding ORB/frame ops lose their
+    overlap across the Mosaic call boundary. Measured twice:
+      r3: one call inflates a tracking iteration 11.5 -> 27.9 ms;
+      r4 (current program, 40-frame desk scan on the real chip):
+          52.5 fps with the XLA twin vs 28.5 fps with the kernel.
+    The question is closed: the XLA twin (one bf16 MXU matmul + masked
+    reductions) is the faster whole-program choice, and `fast_score_nms`
+    remains the Pallas kernel that earns its place on the hot path.
     """
     env = os.environ.get("ORB_TPU_PALLAS_MATCH")
     if env is not None:

@@ -137,6 +137,8 @@ def build_edges_from_map(state, loop_i, loop_j, S_loop_ji, covis_threshold: int 
     mask = (tree | strong) & upper & kf_valid[ii] & kf_valid[jj]
 
     flat = mask.reshape(-1)
+    # Small maps (tests, toy servers) can have fewer than max_edges slots.
+    max_edges = min(max_edges, Kn * Kn + 1)
     _, sel = jax.lax.top_k(flat.astype(jnp.int32), max_edges - 1)
     valid = flat[sel]
     ei = (sel // Kn).astype(jnp.int32)

@@ -287,6 +287,33 @@ def assign_words(vocab: Vocabulary, desc_pm1: jax.Array) -> jax.Array:
     return node
 
 
+@partial(jax.jit, static_argnames=("depth",))
+def assign_nodes(vocab: Vocabulary, desc_pm1: jax.Array, depth: int = 2) -> jax.Array:
+    """Truncated tree descent: (N, 256) descriptors -> (N,) ids of their
+    level-`depth` ancestor node.
+
+    This is the FeatureVector alignment node of the reference's
+    `SearchByBoW`/`SearchForTriangulation` (src/ORBmatcher.cc:522-825):
+    DBoW2 stores features under a coarse tree node and only matches features
+    sharing it. Matching masks AND a `node_q == node_t` test — the same
+    pruning, expressed as a mask on the dense match matrix instead of an
+    inverted-file walk."""
+    n = desc_pm1.shape[0]
+    node = jnp.zeros(n, jnp.int32)
+    for lvl in range(depth):
+        children = vocab.nodes_pm1[lvl]
+        base = node * K_BRANCH
+        cand_idx = base[:, None] + jnp.arange(K_BRANCH)[None, :]
+        cand = children[cand_idx]
+        dots = jnp.einsum(
+            "nb,nkb->nk", desc_pm1, cand, preferred_element_type=jnp.float32
+        )
+        if vocab.node_valid:
+            dots = jnp.where(vocab.node_valid[lvl][cand_idx], dots, -jnp.inf)
+        node = base + jnp.argmax(dots, axis=1).astype(jnp.int32)
+    return node
+
+
 @partial(jax.jit, static_argnames=("n_words",))
 def bow_vector(
     words: jax.Array, valid: jax.Array, word_weight: jax.Array, n_words: int

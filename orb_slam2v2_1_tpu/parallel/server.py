@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..models.map_state import MapState, empty_map
@@ -57,6 +58,12 @@ def encode_keyframe_delta(state: MapState, kf_id: int, command: int = INSERT) ->
         mp_ids=observed,
         mp_pos=np.asarray(state.mp_pos)[observed],
         mp_desc=np.asarray(state.mp_desc)[observed],
+        # Scale-invariance band + viewing normal (MapPoint::UpdateNormalAndDepth,
+        # src/MapPoint.cc:340-383): without these the server-side merge
+        # fusion cannot predict octaves/radii for projection matching.
+        mp_normal=np.asarray(state.mp_normal)[observed],
+        mp_min_dist=np.asarray(state.mp_min_dist)[observed],
+        mp_max_dist=np.asarray(state.mp_max_dist)[observed],
     )
     return buf.getvalue()
 
@@ -98,6 +105,22 @@ class ClientMap:
             self.state = empty_map(self.max_kf, self.max_mp, self.n_kp)
 
 
+@jax.jit
+def _bow_rows(state: MapState, voc):
+    """tf-idf BoW vector per keyframe slot, (K, W) — the server-side BoW
+    database used for cross-session retrieval (one matmul ranks all pairs)."""
+    from ..ops import hamming, vocab as vocab_ops
+
+    def row(desc, kp_valid):
+        pm1 = hamming.unpack_pm1(desc)
+        words = vocab_ops.assign_words(voc, pm1)
+        return vocab_ops.bow_vector(
+            words, kp_valid, voc.word_weight, voc.word_weight.shape[0]
+        )
+
+    return jax.vmap(row)(state.kf_desc, state.kf_kp_valid)
+
+
 class SlamServer:
     """Central map server (ros_server Communicator analog)."""
 
@@ -137,14 +160,28 @@ class SlamServer:
         pos_buf = np.array(st.mp_pos)
         val_buf = np.array(st.mp_valid)
         desc_buf = np.array(st.mp_desc)
-        for i, mid in enumerate(mp_ids):
-            pos_buf[mid] = mp_pos[i]
-            val_buf[mid] = True
-            desc_buf[mid] = mp_desc[i]
+        if len(mp_ids):
+            pos_buf[mp_ids] = mp_pos
+            val_buf[mp_ids] = True
+            desc_buf[mp_ids] = mp_desc
+        extra = {}
+        if "mp_min_dist" in data.files and len(mp_ids):
+            mn = np.array(st.mp_min_dist)
+            mx = np.array(st.mp_max_dist)
+            nr = np.array(st.mp_normal)
+            mn[mp_ids] = data["mp_min_dist"]
+            mx[mp_ids] = data["mp_max_dist"]
+            nr[mp_ids] = data["mp_normal"]
+            extra = dict(
+                mp_min_dist=jnp.asarray(mn),
+                mp_max_dist=jnp.asarray(mx),
+                mp_normal=jnp.asarray(nr),
+            )
         st = st._replace(
             mp_pos=jnp.asarray(pos_buf),
             mp_valid=jnp.asarray(val_buf),
             mp_desc=jnp.asarray(desc_buf),
+            **extra,
             kf_pose=st.kf_pose.at[kf].set(jnp.asarray(data["pose"])),
             kf_valid=st.kf_valid.at[kf].set(True),
             kf_frame_id=st.kf_frame_id.at[kf].set(int(data["frame_id"])),
@@ -185,12 +222,40 @@ class SlamServer:
     def client_map(self, cid: int) -> MapState:
         return self._client(cid).state
 
-    def merge_clients(self, cid_a: int, cid_b: int, K, key) -> Optional[MapState]:
-        """Merge client B's map into client A's frame: find a cross-session
-        keyframe match via descriptors, estimate the aligning transform with
-        the Sim3 solver, transform B, and concatenate — the analog of the
-        operator-triggered `SendMap` merge (src/ros_server.cc:119-168)."""
-        from ..ops import hamming, matching, sim3solver
+    def _get_vocab(self):
+        if not hasattr(self, "_vocab"):
+            import os
+
+            from ..ops import vocab as vocab_ops
+
+            path = os.path.join(
+                os.path.dirname(__file__), "..", "data", "vocab.npz"
+            )
+            self._vocab = (
+                vocab_ops.load_vocabulary(np.load(path))
+                if os.path.exists(path)
+                else None
+            )
+        return self._vocab
+
+    def merge_clients(
+        self, cid_a: int, cid_b: int, K, key, vocab=None, top_pairs: int = 5,
+        joint_optimize: bool = True,
+    ) -> Optional[MapState]:
+        """Merge client B's map into client A's frame — the analog of the
+        operator-triggered `SendMap` merge (src/ros_server.cc:119-168), at
+        loop-closing quality:
+
+        1. cross-session candidate retrieval through the BoW vocabulary —
+           ONE (Ka,W)x(W,Kb) tf-idf similarity matmul ranks all keyframe
+           pairs (no O(Ka*Kb) descriptor-matching loops);
+        2. descriptor match + Horn Sim3 RANSAC on the best pairs (>=20
+           inliers to accept, the loop-closing threshold);
+        3. rigid-align B, concatenate (capacity-guarded);
+        4. seam treatment like CorrectLoop: persistent seam edge +
+           essential-graph optimization + SearchAndFuse duplicate merge
+           (src/LoopClosing.cc:453-622)."""
+        from ..ops import hamming, matching, sim3solver, vocab as vocab_ops
         from ..ops.lie import sim3_inverse
 
         a = self._client(cid_a).state
@@ -200,71 +265,138 @@ class SlamServer:
         if n_a == 0 or n_b == 0:
             return None
 
-        # Find the best cross-session KF pair by descriptor agreement.
-        best = None
-        for ka in range(n_a):
-            if not bool(a.kf_valid[ka]):
-                continue
-            for kb in range(n_b):
-                if not bool(b.kf_valid[kb]):
-                    continue
-                m = matching.match_nn(
-                    hamming.unpack_pm1(a.kf_desc[ka]),
-                    hamming.unpack_pm1(b.kf_desc[kb]),
-                    (a.kf_kp_valid[ka] & (a.kf_mp[ka] >= 0))[:, None]
-                    & (b.kf_kp_valid[kb] & (b.kf_mp[kb] >= 0))[None, :],
-                    max_dist=matching.TH_LOW,
-                    nn_ratio=0.75,
-                )
-                n = int(m.ok.sum())
-                if best is None or n > best[0]:
-                    best = (n, ka, kb, m)
-        if best is None or best[0] < 20:
-            return None
-        n, ka, kb, m = best
+        # --- 1. BoW candidate ranking (one matmul) ---
+        vocab = vocab or self._get_vocab()
+        pairs = []
+        if vocab is not None:
+            Va = np.asarray(_bow_rows(a, vocab))
+            Vb = np.asarray(_bow_rows(b, vocab))
+            S = Va @ Vb.T  # tf-idf similarity ranking
+            S = np.where(
+                np.asarray(a.kf_valid)[:, None] & np.asarray(b.kf_valid)[None, :],
+                S, -1.0,
+            )
+            flat = np.argsort(-S.reshape(-1))[:top_pairs]
+            pairs = [
+                (int(i // S.shape[1]), int(i % S.shape[1]))
+                for i in flat
+                if S.reshape(-1)[i] > 0
+            ]
+        if not pairs:  # no vocabulary: fall back to strongest covis KFs
+            pairs = [
+                (ka, kb)
+                for ka in range(min(n_a, 3))
+                for kb in range(min(n_b, 3))
+            ][:top_pairs]
 
+        # --- 2. Sim3 on the ranked pairs ---
+        accepted = None
+        for ka, kb in pairs:
+            m = matching.match_nn(
+                hamming.unpack_pm1(a.kf_desc[ka]),
+                hamming.unpack_pm1(b.kf_desc[kb]),
+                (a.kf_kp_valid[ka] & (a.kf_mp[ka] >= 0))[:, None]
+                & (b.kf_kp_valid[kb] & (b.kf_mp[kb] >= 0))[None, :],
+                max_dist=matching.TH_LOW,
+                nn_ratio=0.75,
+            )
+            if int(m.ok.sum()) < 20:
+                continue
+            pose_a = a.kf_pose[ka]
+            pose_b = b.kf_pose[kb]
+            mp_a = jnp.maximum(a.kf_mp[ka], 0)
+            mp_b = jnp.maximum(b.kf_mp[kb][m.idx], 0)
+            p1 = (a.mp_pos[mp_a] @ pose_a[:3, :3].T) + pose_a[:3, 3]
+            p2 = (b.mp_pos[mp_b] @ pose_b[:3, :3].T) + pose_b[:3, 3]
+            res = sim3solver.sim3_ransac(
+                p1, p2, a.kf_xy[ka], b.kf_xy[kb][m.idx],
+                jnp.ones(p1.shape[0]), jnp.ones(p1.shape[0]), m.ok, K, key,
+                fix_scale=True,
+            )
+            if bool(res.success) and int(res.n_inliers) >= 20:
+                accepted = (ka, kb, res.S12)
+                break
+        if accepted is None:
+            return None
+        ka, kb, S12 = accepted
+
+        # --- 3. rigid-align B into A's world + concatenate ---
         pose_a = a.kf_pose[ka]
         pose_b = b.kf_pose[kb]
-        mp_a = jnp.maximum(a.kf_mp[ka], 0)
-        mp_b = jnp.maximum(b.kf_mp[kb][m.idx], 0)
-        p1 = (a.mp_pos[mp_a] @ pose_a[:3, :3].T) + pose_a[:3, 3]
-        p2 = (b.mp_pos[mp_b] @ pose_b[:3, :3].T) + pose_b[:3, 3]
-        res = sim3solver.sim3_ransac(
-            p1, p2, a.kf_xy[ka], b.kf_xy[kb][m.idx],
-            jnp.ones(p1.shape[0]), jnp.ones(p1.shape[0]), m.ok, K, key,
-            fix_scale=True,
-        )
-        if not bool(res.success):
-            return None
-        # World-to-world: T_wa<-wb = Twa_ka * S12 * Tb_kb.
-        import jax.numpy as _j
+        T_ab = sim3_inverse(pose_a) @ S12 @ pose_b
+        merged = self._concat(a, b, T_ab)  # raises on capacity overflow
 
-        T_ab = sim3_inverse(pose_a) @ res.S12 @ pose_b
+        # --- 4. seam edge + essential graph + duplicate fusion ---
+        if joint_optimize:
+            from ..models import loop_closing as lc
+            from ..models.map_state import refresh_covis
 
-        # Transform B into A's world and concatenate into a fresh state.
-        merged = self._concat(a, b, T_ab)
+            kb_new = n_a + kb
+            # Seam roles: B's keyframe is the "current" side, A's the fixed
+            # "loop" side — the essential graph anchors A's frame and A's
+            # (base-map) landmarks win the duplicate fusion, so B's copies
+            # die (pRep->Replace semantics, src/LoopClosing.cc:596-622).
+            # After the rigid alignment the seam measurement is the live
+            # relative pose (the Sim3 residual was absorbed by T_ab).
+            S_seam = merged.kf_pose[kb_new] @ jnp.linalg.inv(merged.kf_pose[ka])
+            merged = lc.correct_loop(
+                merged, jnp.int32(kb_new), jnp.int32(ka), S_seam
+            )
+            fuse_kfs, mp_cap = lc._fuse_caps(merged, kb_new, ka)
+            merged, n_fused = lc.search_and_fuse(
+                merged, jnp.int32(kb_new), jnp.int32(ka), jnp.asarray(K),
+                fuse_kfs=fuse_kfs, mp_cap=mp_cap,
+            )
+            merged = refresh_covis(merged)
+            self.last_merge_fused = int(n_fused)
         return merged
 
     @staticmethod
     def _concat(a: MapState, b: MapState, T_ab) -> MapState:
-        """Concatenate two maps (B transformed by T_ab into A's world)."""
+        """Concatenate two maps (B transformed by T_ab into A's world).
+        Raises ValueError when the combined maps exceed A's capacity —
+        silent truncation would drop keyframes/points without trace."""
         from ..ops import lie
 
         n_kf_a = int(a.n_kf)
         n_kf_b = int(b.n_kf)
         n_mp_a = int(a.n_mp)
         n_mp_b = int(b.n_mp)
+        Kcap = a.kf_pose.shape[0]
+        Mcap = a.mp_pos.shape[0]
+        if n_kf_a + n_kf_b > Kcap or n_mp_a + n_mp_b > Mcap:
+            raise ValueError(
+                f"merge exceeds capacity: {n_kf_a}+{n_kf_b} keyframes vs "
+                f"{Kcap}, {n_mp_a}+{n_mp_b} points vs {Mcap}; "
+                "grow the server map capacity or cull before merging"
+            )
         T_ba = np.asarray(lie.se3_inverse(jnp.asarray(T_ab)))
 
         st = a
-        # Points of B -> A world.
-        pb = np.asarray(b.mp_pos[:n_mp_b]) @ np.asarray(T_ab)[:3, :3].T + np.asarray(T_ab)[:3, 3]
+        # Points of B -> A world (positions and viewing normals rotate; the
+        # scale-invariance band is metric and T_ab is rigid here).
+        R_ab = np.asarray(T_ab)[:3, :3]
+        pb = np.asarray(b.mp_pos[:n_mp_b]) @ R_ab.T + np.asarray(T_ab)[:3, 3]
+        nb = np.asarray(b.mp_normal[:n_mp_b]) @ R_ab.T
         st = st._replace(
             mp_pos=st.mp_pos.at[n_mp_a : n_mp_a + n_mp_b].set(jnp.asarray(pb)),
             mp_valid=st.mp_valid.at[n_mp_a : n_mp_a + n_mp_b].set(
                 b.mp_valid[:n_mp_b]
             ),
             mp_desc=st.mp_desc.at[n_mp_a : n_mp_a + n_mp_b].set(b.mp_desc[:n_mp_b]),
+            mp_normal=st.mp_normal.at[n_mp_a : n_mp_a + n_mp_b].set(jnp.asarray(nb)),
+            mp_min_dist=st.mp_min_dist.at[n_mp_a : n_mp_a + n_mp_b].set(
+                b.mp_min_dist[:n_mp_b]
+            ),
+            mp_max_dist=st.mp_max_dist.at[n_mp_a : n_mp_a + n_mp_b].set(
+                b.mp_max_dist[:n_mp_b]
+            ),
+            mp_visible=st.mp_visible.at[n_mp_a : n_mp_a + n_mp_b].set(
+                b.mp_visible[:n_mp_b]
+            ),
+            mp_found=st.mp_found.at[n_mp_a : n_mp_a + n_mp_b].set(
+                b.mp_found[:n_mp_b]
+            ),
             n_mp=jnp.int32(n_mp_a + n_mp_b),
         )
         # Keyframes of B: pose_new = pose_b @ T_ba (world changes to A's).

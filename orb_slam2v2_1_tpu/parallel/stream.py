@@ -35,6 +35,12 @@ KIND_DELTA = 0
 KIND_GET_MAP = 1  # payload: u32 other_cid to merge with (0xFFFFFFFF = own map)
 KIND_MAP = 2
 KIND_OK = 3
+# Operator surface (the ServerViewer menu analog, src/ServerViewer.cc:56-139):
+# JSON commands list/reset/save/load/send + the client-side poll that stands
+# in for the CLIENT_MAP<cid> subscription (pull transport, same semantics).
+KIND_OP = 4
+KIND_OP_REPLY = 5
+KIND_POLL = 6
 
 _HDR = struct.Struct("<BI")
 NO_MERGE = 0xFFFFFFFF
@@ -98,6 +104,16 @@ class StreamClient:
             raise OSError(f"unexpected reply kind {kind}")
         return payload
 
+    def poll_push(self, timeout_ms: int = 10000) -> bytes | None:
+        """Check for an operator-initiated map push (the Send button /
+        CREATE_MAP_REQUEST path, src/ServerViewer.cc:132-137 ->
+        src/ros_server.cc:119-168). Returns serialized map bytes or None."""
+        with self._lock:
+            self._conn.send(_pack(KIND_POLL, self.cid))
+            reply = self._conn.recv(timeout_ms=timeout_ms, max_len=1 << 28)
+        kind, _, payload = _unpack(reply)
+        return payload if kind == KIND_MAP else None
+
     def flush(self, timeout_s: float = 30.0):
         """Block until the delta queue is drained (the Shutdown barrier)."""
         import time
@@ -113,6 +129,46 @@ class StreamClient:
         self._conn.close()
 
 
+class OperatorClient:
+    """Operator-side control connection (the ServerViewer menu,
+    src/ServerViewer.cc:56-139, as a scriptable client)."""
+
+    def __init__(self, host: str, port: int):
+        self._conn = TcpClient(host, port)
+
+    def command(self, op: dict, timeout_ms: int = 60000) -> dict:
+        import json
+
+        self._conn.send(_pack(KIND_OP, 0, json.dumps(op).encode()))
+        reply = self._conn.recv(timeout_ms=timeout_ms, max_len=1 << 24)
+        kind, _, payload = _unpack(reply)
+        if kind != KIND_OP_REPLY:
+            raise OSError(f"unexpected reply kind {kind}")
+        return json.loads(payload.decode())
+
+    def list_clients(self) -> dict:
+        return self.command({"op": "list"})
+
+    def reset(self, cid: int) -> dict:
+        return self.command({"op": "reset", "cid": cid})
+
+    def save(self, cid: int, path: str) -> dict:
+        return self.command({"op": "save", "cid": cid, "path": path})
+
+    def load(self, cid: int, path: str) -> dict:
+        return self.command({"op": "load", "cid": cid, "path": path})
+
+    def send_merge(self, cid: int, merge_with: int | None = None) -> dict:
+        """Stage a (merged) map push for `cid` — the Send button."""
+        op = {"op": "send", "cid": cid}
+        if merge_with is not None:
+            op["merge_with"] = merge_with
+        return self.command(op)
+
+    def close(self):
+        self._conn.close()
+
+
 class MapServerNode:
     """The server_node process analog: TCP accept loop + per-client readers
     feeding one SlamServer (src/ros_server.cc:201-210)."""
@@ -125,6 +181,7 @@ class MapServerNode:
         self._lock = threading.Lock()  # serializes SlamServer mutations
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
+        self._pending_push: dict[int, bytes] = {}
         self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
         self._accept_thread.start()
         self.n_deltas = 0
@@ -154,10 +211,72 @@ class MapServerNode:
                 elif kind == KIND_GET_MAP:
                     (other,) = struct.unpack("<I", payload)
                     conn.send(_pack(KIND_MAP, cid, self._map_bytes(cid, other)))
+                elif kind == KIND_POLL:
+                    pushed = self._pending_push.pop(cid, None)
+                    if pushed is not None:
+                        conn.send(_pack(KIND_MAP, cid, pushed))
+                    else:
+                        conn.send(_pack(KIND_OK, cid))
+                elif kind == KIND_OP:
+                    import json
+
+                    reply = self._handle_op(json.loads(payload.decode()))
+                    conn.send(
+                        _pack(KIND_OP_REPLY, cid, json.dumps(reply).encode())
+                    )
         except OSError:
             pass  # client went away
         finally:
             conn.close()
+
+    # -- operator surface (ServerViewer menu analog) ------------------------
+    def _handle_op(self, op: dict) -> dict:
+        from ..utils import serialization
+
+        kind = op.get("op")
+        try:
+            if kind == "list":
+                with self._lock:
+                    return {
+                        "ok": True,
+                        "clients": {
+                            str(cid): {
+                                "kf": int(cm.state.n_kf),
+                                "mp": int(cm.state.mp_valid.sum()),
+                                "deltas": cm.n_deltas,
+                            }
+                            for cid, cm in self.server.clients.items()
+                        },
+                    }
+            cid = int(op["cid"])
+            if kind == "reset":
+                # ServerViewer "Reset" (src/ServerViewer.cc:100-107).
+                with self._lock:
+                    self.server.clients.pop(cid, None)
+                return {"ok": True}
+            if kind == "save":
+                # ServerViewer "Save" (boost archive -> npz snapshot).
+                with self._lock:
+                    serialization.save_map(
+                        self.server.client_map(cid), op["path"],
+                        metadata={"n_kf_host": int(self.server.client_map(cid).n_kf)},
+                    )
+                return {"ok": True, "path": op["path"]}
+            if kind == "load":
+                with self._lock:
+                    state, _ = serialization.load_map(op["path"])
+                    self.server._client(cid).state = state
+                return {"ok": True}
+            if kind == "send":
+                # ServerViewer "Send": build the (optionally merged) map and
+                # stage it for the client's next poll (the CREATE_MAP_REQUEST
+                # -> SendMap -> CLIENT_MAP path, src/ros_server.cc:119-168).
+                other = int(op.get("merge_with", NO_MERGE))
+                self._pending_push[cid] = self._map_bytes(cid, other)
+                return {"ok": True, "bytes": len(self._pending_push[cid])}
+            return {"ok": False, "error": f"unknown op {kind!r}"}
+        except Exception as e:  # noqa: BLE001 — operator gets the error text
+            return {"ok": False, "error": str(e)}
 
     def _map_bytes(self, cid: int, other: int) -> bytes:
         from ..utils import serialization

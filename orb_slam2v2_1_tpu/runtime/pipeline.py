@@ -84,10 +84,14 @@ class AsyncMapper:
     loop_fn(state, kf_id) -> (state, closed: bool)  [optional]
     """
 
-    def __init__(self, box: MapBox, mapping_fn, loop_fn=None, queue_cap: int = 32):
+    def __init__(self, box: MapBox, mapping_fn, loop_fn=None, queue_cap: int = 32,
+                 loop_service_fn=None):
         self.box = box
         self._mapping_fn = mapping_fn
         self._loop_fn = loop_fn
+        # Runs after each loop round OUTSIDE the structural lock (the
+        # detached-GBA start/abort/merge hook; see LoopCloser.service_gba).
+        self._loop_service_fn = loop_service_fn
         self.abort_ba = NativeFlag()
         self.map_q = NativeQueue(queue_cap)
         self.loop_q = NativeQueue(queue_cap) if loop_fn else None
@@ -137,6 +141,8 @@ class AsyncMapper:
         self.box.mutate(step)
         if closed_cell[0]:
             self.n_loops += 1
+        if self._loop_service_fn is not None:
+            self._loop_service_fn()
 
     # -- shutdown (System::Shutdown barrier, src/System.cc:570-596) ----------
     def shutdown(self, drain: bool = True):

@@ -89,6 +89,160 @@ def export_sparse_map_ply(state, path: str | Path):
     save_ply(pts, path)
 
 
+def fit_gravity_plane(points: np.ndarray, rng=None, iters: int = 200,
+                      tol: float = 0.05):
+    """RANSAC dominant-plane fit (the reference's gravity alignment,
+    src/pointcloudmapping.cc:117-281: SACSegmentation on the merged cloud,
+    then rotate the cloud so the floor is horizontal).
+
+    Returns (normal (3,), d, inlier_mask) with the plane n.p + d = 0 and the
+    normal oriented to +y-down convention flipped to point 'up' (-y in
+    camera-world, since the first camera looks +z with +y down)."""
+    rng = rng or np.random.default_rng(0)
+    n_pts = points.shape[0]
+    if n_pts < 3:
+        return np.array([0.0, -1.0, 0.0]), 0.0, np.zeros(n_pts, bool)
+    best = (None, 0.0, None)
+    for _ in range(iters):
+        idx = rng.choice(n_pts, 3, replace=False)
+        p0, p1, p2 = points[idx]
+        n = np.cross(p1 - p0, p2 - p0)
+        nn = np.linalg.norm(n)
+        if nn < 1e-9:
+            continue
+        n = n / nn
+        d = -n @ p0
+        inl = np.abs(points @ n + d) < tol
+        if best[2] is None or inl.sum() > best[2].sum():
+            best = (n, d, inl)
+    n, d, inl = best
+    # Refine on inliers (least-squares plane through centroid).
+    pi = points[inl]
+    c = pi.mean(0)
+    _, _, Vt = np.linalg.svd(pi - c, full_matrices=False)
+    n = Vt[-1]
+    if n[1] > 0:  # orient 'up' (-y): camera convention has +y pointing down
+        n = -n
+    d = -n @ c
+    inl = np.abs(points @ n + d) < tol
+    return n.astype(np.float32), float(d), inl
+
+
+def gravity_align(points: np.ndarray, rng=None):
+    """Rotate the cloud so the RANSAC-dominant plane (the floor) becomes
+    horizontal (normal -> -y). Returns (aligned_points, R (3,3))."""
+    n, d, _ = fit_gravity_plane(points, rng)
+    up = np.array([0.0, -1.0, 0.0], np.float32)
+    v = np.cross(n, up)
+    s = np.linalg.norm(v)
+    c = float(n @ up)
+    if s < 1e-9:
+        R = np.eye(3, dtype=np.float32) if c > 0 else np.diag([1, -1, -1]).astype(np.float32)
+    else:
+        vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]],
+                      np.float32)
+        R = np.eye(3, dtype=np.float32) + vx + vx @ vx * ((1 - c) / (s * s))
+    return points @ R.T, R
+
+
+def build_octree(points: np.ndarray, res: float = 0.1):
+    """Occupied-leaf octree over the cloud: nested dicts keyed by octant
+    (0..7), leaves at voxel resolution — the .bt octree structure
+    (src/pointcloudmapping.cc exports octomap::OcTree at 0.1 res)."""
+    if points.shape[0] == 0:
+        return {}, np.zeros(3, np.float32), res, 0
+    lo = points.min(0)
+    hi = points.max(0)
+    extent = float(max(hi - lo)) + res
+    depth = max(1, int(np.ceil(np.log2(extent / res))))
+    size = res * (2**depth)
+    center = (lo + hi) / 2.0
+    origin = center - size / 2.0
+    vox = np.unique(((points - origin) / res).astype(np.int64), axis=0)
+    vox = np.clip(vox, 0, 2**depth - 1)
+    root: dict = {}
+    for v in vox:
+        node = root
+        for lvl in range(depth - 1, -1, -1):
+            oct_i = (
+                (int(v[0] >> lvl) & 1)
+                | ((int(v[1] >> lvl) & 1) << 1)
+                | ((int(v[2] >> lvl) & 1) << 2)
+            )
+            if lvl == 0:
+                node[oct_i] = True  # occupied leaf
+            else:
+                node = node.setdefault(oct_i, {})
+    return root, origin.astype(np.float32), res, depth
+
+
+def save_octree(points: np.ndarray, path: str | Path, res: float = 0.1):
+    """Serialize the occupied-leaf octree depth-first with 16-bit child
+    masks (2 bits per child: 01 occupied leaf, 11 inner node — the octomap
+    .bt encoding scheme), with an npz-readable header. Round-trips through
+    `load_octree`."""
+    root, origin, res, depth = build_octree(points, res)
+    blob = bytearray()
+
+    def emit(node):
+        mask = 0
+        for i in range(8):
+            child = node.get(i)
+            if child is True:
+                mask |= 0b01 << (2 * i)
+            elif isinstance(child, dict):
+                mask |= 0b11 << (2 * i)
+        blob.extend(mask.to_bytes(2, "little"))
+        for i in range(8):
+            child = node.get(i)
+            if isinstance(child, dict):
+                emit(child)
+
+    if root:
+        emit(root)
+    np.savez_compressed(
+        path,
+        magic=np.bytes_("orbslam-octree-v1"),
+        origin=origin,
+        res=np.float32(res),
+        depth=np.int32(depth),
+        tree=np.frombuffer(bytes(blob), np.uint8),
+    )
+
+
+def load_octree(path) -> np.ndarray:
+    """Decode occupied-leaf centers (N,3) from a saved octree."""
+    data = np.load(path)
+    origin = data["origin"]
+    res = float(data["res"])
+    depth = int(data["depth"])
+    blob = data["tree"].tobytes()
+    out = []
+    pos = [0]
+
+    def walk(x, y, z, lvl):
+        if pos[0] + 2 > len(blob):
+            return
+        mask = int.from_bytes(blob[pos[0]: pos[0] + 2], "little")
+        pos[0] += 2
+        for i in range(8):
+            bits = (mask >> (2 * i)) & 0b11
+            cx = x | ((i & 1) << (lvl - 1))
+            cy = y | (((i >> 1) & 1) << (lvl - 1))
+            cz = z | (((i >> 2) & 1) << (lvl - 1))
+            if bits == 0b01:
+                out.append((cx, cy, cz))
+            elif bits == 0b11:
+                walk(cx, cy, cz, lvl - 1)
+
+    if blob:
+        walk(0, 0, 0, depth)
+    if not out:
+        return np.zeros((0, 3), np.float32)
+    v = np.asarray(out, np.float64)
+    return (origin + (v + 0.5) * res).astype(np.float32)
+
+
 class DenseMapper:
     """Accumulating dense mapper (PointCloudMapping analog): feed keyframe
     depth images, export merged cloud / occupancy at shutdown

@@ -30,3 +30,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_cache():
+    """Drop compiled executables after each test module.
+
+    The suite compiles many LARGE fused programs (whole-sequence scans,
+    keyframe-insertion pipelines, sharded solves); keeping them all resident
+    in one process eventually aborts the XLA CPU compiler mid-suite
+    (observed as 'Fatal Python error: Aborted' in backend_compile around the
+    55% mark). Per-module clearing bounds residency; within-module caching —
+    the reuse that matters — is unaffected."""
+    yield
+    jax.clear_caches()

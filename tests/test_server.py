@@ -25,10 +25,19 @@ def _session_map(rng, T_world, n_kf=3, n_pts=64, seed_desc=None, shared_pts=None
     ).astype(np.uint32)
     # Transform the shared world into this session's frame.
     pts = pts_w @ np.asarray(T_world)[:3, :3].T + np.asarray(T_world)[:3, 3]
+    # Scale-invariance band as UpdateNormalAndDepth would set it for a
+    # level-0 observation from the origin camera (src/MapPoint.cc:340-383).
+    dist = np.linalg.norm(pts, axis=-1).astype(np.float32)
+    normal = (pts / np.maximum(dist[:, None], 1e-9)).astype(np.float32)
     state = state._replace(
         mp_pos=state.mp_pos.at[:n_pts].set(jnp.asarray(pts)),
         mp_valid=state.mp_valid.at[:n_pts].set(True),
         mp_desc=state.mp_desc.at[:n_pts].set(jnp.asarray(descs)),
+        mp_normal=state.mp_normal.at[:n_pts].set(jnp.asarray(normal)),
+        mp_max_dist=state.mp_max_dist.at[:n_pts].set(jnp.asarray(dist)),
+        mp_min_dist=state.mp_min_dist.at[:n_pts].set(
+            jnp.asarray(dist / 1.2**7)
+        ),
         n_mp=jnp.int32(n_pts),
     )
     from orb_slam2v2_1_tpu.ops.projection import project
@@ -99,7 +108,7 @@ class TestMerge:
         srv.DeltaStream(server, 1).flush(map_a, 3)
         srv.DeltaStream(server, 2).flush(map_b, 3)
 
-        merged = server.merge_clients(1, 2, K, jax.random.key(0))
+        merged = server.merge_clients(1, 2, K, jax.random.key(0), joint_optimize=False)
         assert merged is not None
         assert int(merged.n_kf) == 6
         assert int(merged.n_mp) == 128
@@ -107,3 +116,42 @@ class TestMerge:
         pa = np.asarray(merged.mp_pos[:64])
         pb = np.asarray(merged.mp_pos[64:128])
         np.testing.assert_allclose(pb, pa, atol=2e-2)
+
+    def test_merge_v2_fuses_duplicates(self, rng):
+        """Merge v2 (VERDICT r3 item 5): BoW-ranked candidates, then
+        CorrectLoop-style seam treatment — duplicates across the seam are
+        fused (the B-side copies die), and the result stays consistent."""
+        T_offset = np.asarray(
+            lie.se3_exp(jnp.asarray([0.4, -0.2, 0.1, 0.05, 0.1, -0.03], jnp.float32))
+        ).astype(np.float32)
+        shared_desc = rng.integers(0, 2**32, (64, 8), dtype=np.uint64).astype(np.uint32)
+        map_a, pts_w, _ = _session_map(rng, np.eye(4, dtype=np.float32), seed_desc=shared_desc)
+        map_b, _, _ = _session_map(
+            rng, T_offset, seed_desc=shared_desc, shared_pts=pts_w
+        )
+        server = srv.SlamServer(max_kf=16, max_mp=512, n_kp=64)
+        srv.DeltaStream(server, 1).flush(map_a, 3)
+        srv.DeltaStream(server, 2).flush(map_b, 3)
+
+        merged = server.merge_clients(1, 2, K, jax.random.key(0))
+        assert merged is not None
+        # Both sessions observed the SAME 64 physical points: fusion must
+        # kill duplicates on the B side.
+        assert server.last_merge_fused > 0
+        b_alive = int(np.asarray(merged.mp_valid[64:128]).sum())
+        assert b_alive < 64, "no B-side duplicates were merged away"
+        # B keyframes now reference A-side points across the seam.
+        b_rows = np.asarray(merged.kf_mp[3:6])
+        assert (b_rows[(b_rows >= 0)] < 64).any()
+        assert np.isfinite(np.asarray(merged.kf_pose)).all()
+
+    def test_merge_capacity_guard(self, rng):
+        """Concat past capacity raises instead of silently truncating."""
+        import pytest
+
+        state, pts_w, desc = _session_map(rng, np.eye(4, dtype=np.float32), n_kf=9)
+        server = srv.SlamServer(max_kf=16, max_mp=512, n_kp=64)
+        srv.DeltaStream(server, 1).flush(state, 9)
+        srv.DeltaStream(server, 2).flush(state, 9)
+        with pytest.raises(ValueError, match="capacity"):
+            server.merge_clients(1, 2, K, jax.random.key(0))
