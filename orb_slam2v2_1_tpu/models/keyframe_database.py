@@ -53,6 +53,53 @@ def add_keyframe(
     )
 
 
+@partial(jax.jit, donate_argnames=("db",))
+def add_and_detect_batch(
+    db: BowDatabase, voc: vocab.Vocabulary, state: MapState, slots: jax.Array,
+):
+    """Add+detect for a BATCH of keyframes (slots padded with -1) in ONE
+    dispatch per chunk instead of one per keyframe: all registrations land
+    with one scatter (vmapped tree descent), then detection runs vmapped.
+    Unlike the reference's strictly sequential order, keyframe i's detection
+    can see same-batch keyframes j>i — harmless, because same-chunk
+    keyframes are covisible neighbors and the candidate mask excludes the
+    query's covisible group (detect_loop_candidates).
+
+    Returns (db, scores (S,K), cand (S,K))."""
+    ok = slots >= 0
+    sl = jnp.maximum(slots, 0)
+
+    def bow_row(desc, kp_valid):
+        pm1 = hamming.unpack_pm1(desc)
+        words = vocab.assign_words(voc, pm1)
+        vec = vocab.bow_vector(words, kp_valid, voc.word_weight, db.vectors.shape[1])
+        return words, vec
+
+    words, vecs = jax.vmap(bow_row)(state.kf_desc[sl], state.kf_kp_valid[sl])
+    tgt = jnp.where(ok, sl, db.vectors.shape[0])  # park pads out of range
+    db = db._replace(
+        vectors=db.vectors.at[tgt].set(vecs, mode="drop"),
+        words=db.words.at[tgt].set(words, mode="drop"),
+        valid=db.valid.at[tgt].set(True, mode="drop"),
+    )
+    scores, cand, _ = jax.vmap(
+        detect_loop_candidates, in_axes=(None, None, 0)
+    )(db, state, sl)
+    return db, scores, cand & ok[:, None]
+
+
+@partial(jax.jit, donate_argnames=("db",))
+def add_and_detect(
+    db: BowDatabase, voc: vocab.Vocabulary, state: MapState, kf_id: jax.Array,
+):
+    """Fused KeyFrameDatabase::add + DetectLoopCandidates: ONE dispatch per
+    keyframe on the loop-closing cadence instead of two (each dispatch is a
+    full tunnel round-trip on remote-attached chips)."""
+    db = add_keyframe(db, voc, kf_id, state.kf_desc[kf_id], state.kf_kp_valid[kf_id])
+    scores, cand, min_score = detect_loop_candidates(db, state, kf_id)
+    return db, scores, cand
+
+
 @jax.jit
 def detect_loop_candidates(
     db: BowDatabase,

@@ -459,6 +459,66 @@ def global_bundle_adjustment(state: MapState, K: jax.Array, bf: jax.Array):
     return apply_global_ba_result(state, prob2.poses, prob2.points, prob.cam_fixed), cost
 
 
+@partial(jax.jit, static_argnames=("kb",))
+def build_global_ba_problem_compact(state: MapState, K: jax.Array, bf: jax.Array,
+                                    kb: int):
+    """GBA problem over the LIVE keyframes compacted into `kb` camera slots
+    (bucketed by the caller): the observation list shrinks from Kmax*N to
+    kb*N, so the solve is sized by the MAP, not its capacity — measured to
+    halve the per-chunk GBA cost on half-full maps. Returns
+    (prob, cam_slots (kb,), cam_used (kb,))."""
+    Kmax, N = state.kf_mp.shape
+    _, cam_slots = jax.lax.top_k(state.kf_valid.astype(jnp.int8), kb)
+    cam_used = state.kf_valid[cam_slots]
+    seq_key = jnp.where(cam_used, state.kf_seq[cam_slots], jnp.int32(2**30))
+    anchor = jnp.argmin(seq_key)
+    cam_fixed = (jnp.arange(kb) == anchor) | ~cam_used
+
+    kf_mp = state.kf_mp[cam_slots]
+    flat_ok = (
+        cam_used[:, None]
+        & state.kf_kp_valid[cam_slots]
+        & (kf_mp >= 0)
+        & state.mp_valid[jnp.maximum(kf_mp, 0)]
+    )
+    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (kb, N), 0)
+    obs = ba.Obs(
+        cam_idx=cam_iota.reshape(-1),
+        pt_idx=jnp.maximum(kf_mp, 0).reshape(-1),
+        target=jnp.concatenate(
+            [state.kf_xy[cam_slots], state.kf_ur[cam_slots][..., None]], -1
+        ).reshape(-1, 3),
+        inv_sigma2=INV_LEVEL_SIGMA2[
+            jnp.clip(state.kf_level[cam_slots], 0, N_LEVELS - 1)
+        ].reshape(-1),
+        is_stereo=(state.kf_ur[cam_slots] >= 0).reshape(-1),
+        valid=flat_ok.reshape(-1),
+    )
+    prob = ba.BAProblem(
+        poses=state.kf_pose[cam_slots], points=state.mp_pos, obs=obs,
+        cam_fixed=cam_fixed, K=K, bf=bf,
+    )
+    return prob, cam_slots, cam_used
+
+
+@jax.jit
+def expand_gba_result(snap_poses, opt_poses, cam_fixed, cam_slots, cam_used):
+    """Scatter compact GBA camera results back to full keyframe slots;
+    returns (poses (K,4,4), cam_fixed_full (K,)) in the layout
+    merge_gba_into_live / apply_global_ba_result expect."""
+    Kmax = snap_poses.shape[0]
+    write = cam_used & ~cam_fixed
+    full = snap_poses.at[jnp.where(write, cam_slots, Kmax)].set(
+        opt_poses, mode="drop"
+    )
+    fixed_full = (
+        jnp.ones(Kmax, bool)
+        .at[jnp.where(write, cam_slots, Kmax)]
+        .set(False, mode="drop")
+    )
+    return full, fixed_full
+
+
 _DIST_GBA_CACHE: dict = {}
 _build_gba_jit = jax.jit(build_global_ba_problem)
 _apply_gba_jit = jax.jit(apply_global_ba_result, donate_argnames=("state",))
@@ -649,7 +709,14 @@ class GlobalBARunner:
     def _run(self):
         self.n_runs += 1
         snap = self._snapshot
-        prob = _build_gba_jit(snap, self.K, self.bf)
+        # Compact the problem to the LIVE keyframes (bucketed): the solve is
+        # sized by the map, not its capacity.
+        Kmax = snap.kf_pose.shape[0]
+        n_live = int(jnp.sum(snap.kf_valid.astype(jnp.int32)))
+        kb = _bucket(n_live, 16, Kmax)
+        prob, cam_slots, cam_used = build_global_ba_problem_compact(
+            snap, self.K, self.bf, kb
+        )
         prob, aborted = self._chunks(prob, 5, robust=True)
         if not aborted:
             prob = ba.classify_outliers(prob)
@@ -658,9 +725,12 @@ class GlobalBARunner:
         if aborted:
             self.n_aborted += 1
             return
+        poses_full, fixed_full = expand_gba_result(
+            snap.kf_pose, prob.poses, prob.cam_fixed, cam_slots, cam_used
+        )
         self.result = (
             snap.kf_seq, snap.kf_valid, snap.mp_first_seq, snap.mp_valid,
-            prob.poses, prob.points, prob.cam_fixed,
+            poses_full, prob.points, fixed_full,
         )
 
 
@@ -775,42 +845,48 @@ class LoopCloser:
             box.mutate(lambda live: merge_gba_into_live(live, *res))
             self.n_gba_merged += 1
 
-    def on_keyframe(self, state: MapState, kf_id: int, n_kf: int):
-        """One LoopClosing round for a freshly inserted keyframe.
-        Returns (state, loop_closed: bool); the BoW database is updated in
-        place on `self.db`."""
+    def detect_loop(self, state: MapState, kf_id: int, n_kf: int):
+        """Detection half of the LoopClosing round (DetectLoop + ComputeSim3,
+        src/LoopClosing.cc:113-410): BoW registration + candidate retrieval +
+        3-consecutive consistency + Sim3 acceptance. READ-ONLY on `state`
+        (only `self.db` and the consistency chain mutate), so it can run on
+        a snapshot concurrently with tracking — the reference's LoopClosing
+        thread. Returns (cand, S12) for an accepted closure, else None."""
         from . import keyframe_database as kdb
 
-        self.db = kdb.add_keyframe(
-            self.db, self.vocab, jnp.int32(kf_id),
-            state.kf_desc[kf_id], state.kf_kp_valid[kf_id],
-        )
         # Reference skips detection within 10 KFs of the last loop
         # (src/LoopClosing.cc:118-124). Counted in insertion order, not slot
         # ids (slots are reused after culling).
         self.kf_counter += 1
         if n_kf < 12 or self.kf_counter - self.last_loop_seq < 10:
+            # Registration only: one async dispatch, no host round-trip.
+            self.db = kdb.add_keyframe(
+                self.db, self.vocab, jnp.int32(kf_id),
+                state.kf_desc[kf_id], state.kf_kp_valid[kf_id],
+            )
             self.consistency.update([])
-            return state, False
+            return None
 
-        scores, cand_mask, _ = kdb.detect_loop_candidates(
-            self.db, state, jnp.int32(kf_id)
+        # Fused add+detect (one dispatch), then ONE device_get for scores,
+        # candidate mask and the cached covisibility (grouping uses the
+        # one-round-stale cache — staleness only affects group margins).
+        self.db, scores_d, cand_d = kdb.add_and_detect(
+            self.db, self.vocab, state, jnp.int32(kf_id)
         )
-        cands = np.where(np.asarray(cand_mask))[0]
+        scores, cand_mask, C = jax.device_get((scores_d, cand_d, state.covis))
+        cands = np.where(cand_mask)[0]
         if len(cands) == 0:
             self.consistency.update([])
-            return state, False
+            return None
 
         # Covisibility groups for consistency tracking.
-        C = np.asarray(covisibility(state))
         groups = [set(np.where(C[c] > 0)[0]) | {int(c)} for c in cands]
         consistent = self.consistency.update(groups)
         if not consistent:
-            return state, False
+            return None
 
         # Try Sim3 on consistent candidates (strongest first).
-        sc = np.asarray(scores)
-        order = sorted(consistent, key=lambda gi: -sc[cands[gi]])
+        order = sorted(consistent, key=lambda gi: -scores[cands[gi]])
         for gi in order[:3]:
             cand = int(cands[gi])
             success, S12, n_inl, n_total = compute_sim3(
@@ -819,35 +895,97 @@ class LoopCloser:
                 voc=self.vocab,
             )
             if bool(success):
-                from .map_state import refresh_covis
+                return cand, S12
+        return None
 
-                state = correct_loop(
-                    state, jnp.int32(kf_id), jnp.int32(cand), S12
+    def detect_batch(self, state: MapState, slots: list, n_live: int):
+        """Detection for a CHUNK of freshly inserted keyframes in one device
+        dispatch + one device_get (see kdb.add_and_detect_batch), processed
+        in insertion order through the consistency chain. Returns accepted
+        closures as [(kf_id, cand, S12)] (at most one — a closure resets the
+        consistency chain and starts the cooldown)."""
+        from . import keyframe_database as kdb
+
+        if not slots:
+            return []
+        S = _bucket(len(slots), 8, max(8, state.kf_pose.shape[0]))
+        arr = jnp.full(S, -1, jnp.int32).at[: len(slots)].set(
+            jnp.asarray(slots, jnp.int32)
+        )
+        self.db, scores_d, cand_d = kdb.add_and_detect_batch(
+            self.db, self.vocab, state, arr
+        )
+        scores, cand, C = jax.device_get((scores_d, cand_d, state.covis))
+        triggers = []
+        for i, slot in enumerate(slots):
+            self.kf_counter += 1
+            if (
+                triggers
+                or n_live < 12
+                or self.kf_counter - self.last_loop_seq < 10
+            ):
+                self.consistency.update([])
+                continue
+            cands = np.where(cand[i])[0]
+            if len(cands) == 0:
+                self.consistency.update([])
+                continue
+            groups = [set(np.where(C[c] > 0)[0]) | {int(c)} for c in cands]
+            consistent = self.consistency.update(groups)
+            if not consistent:
+                continue
+            order = sorted(consistent, key=lambda gi: -scores[i][cands[gi]])
+            for gi in order[:3]:
+                c = int(cands[gi])
+                success, S12, n_inl, n_total = compute_sim3(
+                    state, jnp.int32(slot), jnp.int32(c), self.K,
+                    jax.random.key(slot * 131 + c), fix_scale=self.fix_scale,
+                    voc=self.vocab,
                 )
-                # Fuse the duplicated landmarks the loop created
-                # (SearchAndFuse, src/LoopClosing.cc:453-551,596-622) over
-                # the FULL corrected group + all loop-side points (the
-                # reference never truncates this set): capacities sized from
-                # the live map, rounded up to compile buckets. Then refresh
-                # the covisibility cache the fusion changed.
-                fuse_kfs, mp_cap = _fuse_caps(state, kf_id, cand)
-                state, _ = search_and_fuse(
-                    state, jnp.int32(kf_id), jnp.int32(cand), self.K,
-                    fuse_kfs=fuse_kfs, mp_cap=mp_cap,
-                )
-                state = refresh_covis(state)
-                if self.detached_gba:
-                    # GBA runs detached on a post-correction snapshot; the
-                    # worker starts/aborts/merges it via service_gba OUTSIDE
-                    # the structural lock, so keyframe insertion never stalls
-                    # behind the solve.
-                    self._gba_pending = True
-                else:
-                    state, _ = run_global_bundle_adjustment(
-                        state, self.K, self.bf, mesh=self.mesh
-                    )
-                self.last_loop_seq = self.kf_counter
-                self.n_loops_closed += 1
-                self.consistency = LoopConsistency()
-                return state, True
-        return state, False
+                if bool(success):
+                    triggers.append((slot, c, S12))
+                    break
+        return triggers
+
+    def apply_closure(self, state: MapState, kf_id: int, cand: int, S12):
+        """Mutating half: CorrectLoop — essential-graph correction, loop
+        fusion, covisibility refresh, GBA (detached or inline)
+        (src/LoopClosing.cc:412-594). Safe to run on a LIVE state even when
+        the Sim3 was accepted on an earlier snapshot: S12 is a relative
+        measurement between two keyframe frames."""
+        from .map_state import refresh_covis
+
+        state = correct_loop(state, jnp.int32(kf_id), jnp.int32(cand), S12)
+        # Fuse the duplicated landmarks the loop created (SearchAndFuse,
+        # src/LoopClosing.cc:453-551,596-622) over the FULL corrected group
+        # + all loop-side points (the reference never truncates this set):
+        # capacities sized from the live map, rounded up to compile buckets.
+        fuse_kfs, mp_cap = _fuse_caps(state, kf_id, cand)
+        state, _ = search_and_fuse(
+            state, jnp.int32(kf_id), jnp.int32(cand), self.K,
+            fuse_kfs=fuse_kfs, mp_cap=mp_cap,
+        )
+        state = refresh_covis(state)
+        if self.detached_gba:
+            # GBA runs detached on a post-correction snapshot; the caller
+            # starts/aborts/merges it via service_gba OUTSIDE the structural
+            # lock, so keyframe insertion never stalls behind the solve.
+            self._gba_pending = True
+        else:
+            state, _ = run_global_bundle_adjustment(
+                state, self.K, self.bf, mesh=self.mesh
+            )
+        self.last_loop_seq = self.kf_counter
+        self.n_loops_closed += 1
+        self.consistency = LoopConsistency()
+        return state
+
+    def on_keyframe(self, state: MapState, kf_id: int, n_kf: int):
+        """One synchronous LoopClosing round for a freshly inserted keyframe.
+        Returns (state, loop_closed: bool); the BoW database is updated in
+        place on `self.db`."""
+        trig = self.detect_loop(state, kf_id, n_kf)
+        if trig is None:
+            return state, False
+        cand, S12 = trig
+        return self.apply_closure(state, kf_id, cand, S12), True

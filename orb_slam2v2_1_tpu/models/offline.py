@@ -320,23 +320,33 @@ def track_sequence_rgbd(images, depths, cfg, sensor_bf=None, loop_closer=None,
                 jnp.asarray(images[s:e], jnp.float32),
                 jnp.asarray(depths[s:e], jnp.float32), carry, *scan_args
             )
-            pieces_p.append(np.asarray(poses_c))
-            pieces_ok.append(np.asarray(ok_c))
-            # Host loop stage over the chunk's new keyframes, oldest first.
-            kf_seq = np.asarray(carry.state.kf_seq)
-            kf_valid = np.asarray(carry.state.kf_valid)
+            # One batched device_get per chunk (each pull is a full tunnel
+            # round-trip on remote-attached chips).
+            poses_np, ok_np, kf_seq, kf_valid = jax.device_get(
+                (poses_c, ok_c, carry.state.kf_seq, carry.state.kf_valid)
+            )
+            pieces_p.append(poses_np)
+            pieces_ok.append(ok_np)
             new = sorted(
                 (int(kf_seq[i]), i)
                 for i in range(len(kf_seq))
                 if kf_valid[i] and kf_seq[i] > last_seq
             )
+            if new:
+                last_seq = max(seqv for seqv, _ in new)
             state_l = carry.state
             any_closed = False
-            for seqv, slot in new:
-                n_live = int(np.sum(np.asarray(state_l.kf_valid)))
-                state_l, closed = loop_closer.on_keyframe(state_l, slot, n_live)
-                any_closed |= bool(closed)
-                last_seq = max(last_seq, seqv)
+
+            # Loop stage: ONE batched add+detect dispatch for the chunk's
+            # keyframes (see kdb.add_and_detect_batch), then any accepted
+            # closure is applied to the live map.
+            triggers = loop_closer.detect_batch(
+                state_l, [slot for _, slot in new], int(kf_valid.sum())
+            )
+            for slot, cand, S12 in triggers:
+                state_l = loop_closer.apply_closure(state_l, slot, cand, S12)
+                any_closed = True
+
             if loop_closer.detached_gba:
                 # Start/abort/merge the detached GBA (runs overlapped with
                 # the next chunk's tracking; merged results re-anchor
@@ -345,14 +355,17 @@ def track_sequence_rgbd(images, depths, cfg, sensor_bf=None, loop_closer=None,
                 merged = loop_closer.service_gba(box)
                 state_l = box.state
                 any_closed |= merged
+
             carry = carry._replace(
                 state=state_l,
                 # The map moved under the motion model after a closure.
                 have_velocity=carry.have_velocity & jnp.asarray(not any_closed),
             )
             s = e
+
         if loop_closer.detached_gba:
             box = _CellBox(carry.state)
+            loop_closer.service_gba(box)
             loop_closer.finalize_gba(box)
             carry = carry._replace(state=box.state)
         poses = np.concatenate(pieces_p)

@@ -259,6 +259,19 @@ class TestWindowBA:
             np.asarray(dx_pt).reshape(-1), dx[6 * C :], rtol=1e-3, atol=1e-4
         )
 
+        # And the PRODUCTION f32 path (closed-form 3x3 inverses, stacked
+        # matmuls) must stay within loose tolerance of the same reference —
+        # the tight f64 check alone would let an f32-only regression slip.
+        dx_cam32, dx_pt32, _ = ba._window_planar_step(
+            win, slot_of, jnp.float32(1e-4), jnp.asarray(False)
+        )
+        np.testing.assert_allclose(
+            np.asarray(dx_cam32).reshape(-1), dx[: 6 * C], rtol=0.05, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(dx_pt32).reshape(-1), dx[6 * C :], rtol=0.05, atol=2e-3
+        )
+
 
 class TestSchurEquivalence:
     def test_matches_dense_gauss_newton(self, rng):
