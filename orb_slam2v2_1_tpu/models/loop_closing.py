@@ -649,6 +649,11 @@ class GlobalBARunner:
         self.aborted = False
         self.n_runs = 0
         self.n_aborted = 0
+        # Rolling wall-clock of recent solves (ms) — surfaced by
+        # SlamSystem.stats() as the GBA stage metric.
+        from collections import deque
+
+        self.solve_ms = deque(maxlen=8)
 
     @property
     def running(self) -> bool:
@@ -682,7 +687,11 @@ class GlobalBARunner:
         lam = jnp.float32(1e-4)
         done = 0
         while done < total:
-            it = min(self.chunk_iters, total - done)
+            # Always a full chunk (may overshoot `total` by <chunk_iters):
+            # keeps ONE compiled program per (robust, bucket) — a partial
+            # tail chunk would compile a second size for no benefit, and an
+            # extra LM iteration near convergence is free accuracy.
+            it = self.chunk_iters
             if self.mesh is not None:
                 from ..parallel import dist_ba
 
@@ -707,6 +716,9 @@ class GlobalBARunner:
         return prob, False
 
     def _run(self):
+        import time as _time
+
+        t0 = _time.perf_counter()
         self.n_runs += 1
         snap = self._snapshot
         # Compact the problem to the LIVE keyframes (bucketed): the solve is
@@ -722,6 +734,7 @@ class GlobalBARunner:
             prob = ba.classify_outliers(prob)
             prob, aborted = self._chunks(prob, 10, robust=False)
         self.aborted = aborted
+        self.solve_ms.append((_time.perf_counter() - t0) * 1e3)
         if aborted:
             self.n_aborted += 1
             return

@@ -14,7 +14,10 @@ Sensor modes: MONOCULAR, RGBD, STEREO (System eSensor, include/System.h:63-67).
 from __future__ import annotations
 
 import enum
+import time as _time
+from collections import deque
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -40,6 +43,16 @@ class TrackState(enum.Enum):
     LOST = 3
 
 
+class _Pending(NamedTuple):
+    """A dispatched-but-undecided frame on the pipelined online path."""
+
+    res: object  # frontend.FrameResult (device arrays)
+    timestamp: float
+    frame_id: int
+    ref_kf: int  # reference KF the program was dispatched against
+    version: int  # MapBox version read at dispatch
+
+
 @dataclass
 class SlamSystem:
     config: SlamConfig
@@ -49,6 +62,26 @@ class SlamSystem:
     # LoopClosing std::threads, src/System.cc:124-143); tracking never waits
     # for BA. False = synchronous (deterministic; same math).
     async_mapping: bool = False
+    # Pipelined tracking (requires async_mapping): per-frame programs are
+    # dispatched without waiting for their statistics; the state-machine
+    # decision for frame k (keyframe policy, loss handling) is taken when
+    # its stats arrive — at most `pipeline_depth` frames later. This removes
+    # every per-frame device->host round trip from the hot path (a full
+    # tunnel RTT each, ~25 ms measured on the bench host) and matches the
+    # reference's own decision latency: its LocalMapping/LoopClosing act on
+    # a keyframe thread-asynchronously too (src/System.cc:124-143). In
+    # pipelined mode `track_*` returns the CURRENT frame's pose as a device
+    # array (np.asarray(it) to materialize — that is where the RTT went).
+    pipelined: bool = False
+    pipeline_depth: int = 3
+    # Pipelining engages only while tracking is HEALTHY (established map +
+    # this inlier margin over the reference's 30-inlier OK threshold,
+    # src/Tracking.cc:1110-1113): the reference's keyframe decision has zero
+    # lag (NeedNewKeyFrame runs in its tracking thread), so during marginal
+    # stretches — young map, low inliers — we match that by falling back to
+    # synchronous per-frame decisions, and only pipeline when a 2-3 frame
+    # decision lag provably cannot cost the track.
+    pipeline_min_inliers: int = 60
 
     state: TrackState = TrackState.NO_IMAGES_YET
     map: MapState = None
@@ -97,6 +130,20 @@ class SlamSystem:
         # surface, src/ros_rgbd.cc:140-198): callbacks invoked once per
         # processed frame with the current pose sample.
         self._pose_listeners = []
+        # Pipelined-tracking state (see class docstring fields).
+        if self.pipelined and not self.async_mapping:
+            raise ValueError("pipelined=True requires async_mapping=True")
+        self._pending: deque[_Pending] = deque()
+        self._odom_dev = None  # device-side odom chain (pipelined path)
+        self._odom_skip_next = False
+        self._pipeline_healthy = False
+        # Rolling per-stage latency metrics (ms) — the FrameDrawer status-bar
+        # analog (src/FrameDrawer.cc:132-168); see stats().
+        self._metrics = {
+            "track": deque(maxlen=512),
+            "map": deque(maxlen=128),
+            "loop": deque(maxlen=128),
+        }
         if self.async_mapping:
             self._start_async()
 
@@ -136,17 +183,19 @@ class SlamSystem:
         self._box = MapBox(self.map)
 
         def mapping_fn(state, kf_id, allow_ba):
+            t0 = _time.perf_counter()
             state, victim, vparent, T_red = frontend.mapping_pipeline(
                 state, jnp.int32(kf_id), self._K, self._bf,
                 jax.random.key(kf_id), allow_ba, voc=self.vocab,
             )
-            v = int(victim)
+            v = int(victim)  # blocking fetch: also makes the timing honest
             if v >= 0:
                 # Worker thread: queue the trajectory rewrite for the
                 # tracking thread (list.append is atomic under the GIL).
                 self._pending_redirects.append(
                     (v, int(vparent), np.asarray(T_red))
                 )
+            self._metrics["map"].append((_time.perf_counter() - t0) * 1e3)
             return state
 
         loop_fn = None
@@ -159,7 +208,12 @@ class SlamSystem:
             self.loop_closer.enable_detached_gba()
 
             def loop_fn(state, kf_id):
-                return self.loop_closer.on_keyframe(state, int(kf_id), self.n_kf_host)
+                t0 = _time.perf_counter()
+                out = self.loop_closer.on_keyframe(
+                    state, int(kf_id), self.n_kf_host
+                )
+                self._metrics["loop"].append((_time.perf_counter() - t0) * 1e3)
+                return out
 
             def loop_service_fn():
                 self.loop_closer.service_gba(self._box)
@@ -173,9 +227,17 @@ class SlamSystem:
         if self._box is not None:
             self.map, self._map_version = self._box.read()
 
+    def flush(self):
+        """Resolve every in-flight pipelined frame (blocking). Called
+        automatically by shutdown/save/export APIs."""
+        if self._pending:
+            self._drain_pending(force=True)
+
     def shutdown(self, drain: bool = True):
         """Stop workers after draining their queues (System::Shutdown
         barrier, src/System.cc:570-596) and adopt the final map."""
+        if self._pending:
+            self._drain_pending(force=True)
         if self._mapper is not None:
             self._mapper.shutdown(drain=drain)
             if self.loop_closer is not None:
@@ -286,10 +348,16 @@ class SlamSystem:
     # Public per-frame entry points (System::TrackMonocular/TrackRGBD)
     # ------------------------------------------------------------------
     def track_monocular(self, img, timestamp: float):
-        return self._step(img, None, timestamp)
+        t0 = _time.perf_counter()
+        out = self._step(img, None, timestamp)
+        self._metrics["track"].append((_time.perf_counter() - t0) * 1e3)
+        return out
 
     def track_rgbd(self, img, depth, timestamp: float):
-        return self._step(img, depth, timestamp)
+        t0 = _time.perf_counter()
+        out = self._step(img, depth, timestamp)
+        self._metrics["track"].append((_time.perf_counter() - t0) * 1e3)
+        return out
 
     def track_stereo(self, img_left, img_right, timestamp: float):
         """Stereo entry point (System::TrackStereo, src/System.cc:365-423):
@@ -297,19 +365,29 @@ class SlamSystem:
         tracking path (ur/depth filled from disparity)."""
         from . import frontend
 
+        t0 = _time.perf_counter()
         c = self.config
         frame = frontend.build_frame_stereo(
             jnp.asarray(img_left, jnp.float32), jnp.asarray(img_right, jnp.float32),
             self._K, self._dist, self._bf, jnp.int32(self.frame_id),
             self._orb_cfg, c.width, c.height,
         )
-        return self._step_built(frame, timestamp)
+        out = self._step_built(frame, timestamp)
+        self._metrics["track"].append((_time.perf_counter() - t0) * 1e3)
+        return out
 
     def _step(self, img, depth, timestamp: float):
-        """Fused per-frame path: one device dispatch + one 8-float stats pull
-        per tracked frame (see frontend.py)."""
+        """Fused per-frame path: one device dispatch per tracked frame (see
+        frontend.py) + one batched stats pull (sync mode) or a deferred
+        async pull (pipelined mode)."""
         from . import frontend
 
+        if self._pending:
+            self._drain_pending()
+            if self._pending and not self._pipelining_active():
+                # Health dropped (or loss): resolve everything in flight so
+                # the synchronous path below sees ordered, settled state.
+                self._drain_pending(force=True)
         c = self.config
         has_depth = depth is not None
         img_j = jnp.asarray(img, jnp.float32)
@@ -355,6 +433,8 @@ class SlamSystem:
             self.sensor == Sensor.MONOCULAR, self.vocab,
             vo_points=self._vo_points_enabled(),
         )
+        if self._pipelining_active():
+            return self._enqueue_pending(res, timestamp)
         return self._handle_result(res, timestamp)
 
     def _vo_points_enabled(self) -> bool:
@@ -366,6 +446,10 @@ class SlamSystem:
         """Shared tracking for a pre-built frame (stereo path)."""
         from . import frontend
 
+        if self._pending:
+            self._drain_pending()
+            if self._pending and not self._pipelining_active():
+                self._drain_pending(force=True)
         c = self.config
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self.state = TrackState.NOT_INITIALIZED
@@ -392,7 +476,128 @@ class SlamSystem:
             self.sensor == Sensor.MONOCULAR, self.vocab,
             vo_points=self._vo_points_enabled(),
         )
+        if self._pipelining_active():
+            return self._enqueue_pending(res, timestamp)
         return self._handle_result(res, timestamp)
+
+    # ------------------------------------------------------------------
+    # Pipelined online tracking (the zero-round-trip hot path)
+    # ------------------------------------------------------------------
+    def _pipelining_active(self) -> bool:
+        return (
+            self.pipelined
+            and self._box is not None
+            and self.state == TrackState.OK
+            and not self.localization_only
+            and self._pipeline_healthy
+        )
+
+    def _update_health(self, tracked_ok: bool, stats):
+        self._pipeline_healthy = (
+            bool(tracked_ok)
+            and stats[1] >= self.pipeline_min_inliers
+            and self.n_kf_host >= 5
+        )
+
+    def _enqueue_pending(self, res, timestamp: float):
+        """Dispatch accounting for a pipelined frame: start the async stats
+        copy, chain the device-side tracking context, defer all decisions."""
+        res.stats.copy_to_host_async()
+        self._pending.append(
+            _Pending(res, timestamp, self.frame_id, self.ref_kf, self._map_version)
+        )
+        self.last_frame = res.frame
+        self._velocity_dev = res.velocity
+        self._have_velocity = True
+        self.frame_id += 1
+        return res.pose
+
+    def _drain_pending(self, force: bool = False):
+        """Resolve decisions for dispatched frames whose stats have arrived;
+        block only when the in-flight window is full (or force=True)."""
+        while self._pending:
+            must = force or len(self._pending) > self.pipeline_depth
+            if not must and not self._pending[0].res.stats.is_ready():
+                break
+            e = self._pending.popleft()
+            if not self._process_pending(e):
+                # Loss/reset: every later in-flight frame tracked against a
+                # broken chain — record them lost and flush.
+                for later in self._pending:
+                    self.trajectory.append_rel(
+                        later.timestamp, later.ref_kf, np.eye(4), lost=True
+                    )
+                    self._publish_pose(later.timestamp, None)
+                self._pending.clear()
+                break
+
+    def _process_pending(self, e: _Pending) -> bool:
+        """Deferred decision half of the per-frame step (the sync path's
+        _handle_result_impl, minus everything already chained at dispatch).
+        Returns False when the pipeline must flush (loss or reset)."""
+        stats = np.asarray(e.res.stats)  # ready (or blocks the tail of RTT)
+        while self._pending_redirects:
+            self._apply_cull(*self._pending_redirects.pop(0))
+        # Advisory visibility-stats publish: only meaningful if nothing
+        # (including our own later publishes) landed since dispatch.
+        self._box.publish(e.res.state, expected_version=e.version)
+        self.map, self._map_version = self._box.read()
+        if self._mapper.n_loops != self._loops_seen:
+            # A loop closed in the background: frames in flight straddle the
+            # map jump; invalidate the motion model and keep the odom chain
+            # from absorbing the discontinuity.
+            self._loops_seen = self.n_loops_closed = self._mapper.n_loops
+            self._have_velocity = False
+            self._odom_skip_next = True
+        self._mapper.raise_worker_errors()
+
+        tracked_ok = stats[0] > 0
+        self._update_health(tracked_ok, stats)
+        if not tracked_ok:
+            self.trajectory.append_rel(
+                e.timestamp, e.ref_kf, np.eye(4), lost=True
+            )
+            self._publish_pose(e.timestamp, None)
+            # Mirror the sync loss policy: immediate relocalization attempt
+            # on this frame's features, else auto-reset / LOST.
+            if self.loop_closer is not None:
+                from . import relocalization
+
+                ok_r, Tcw_r, frame_mp, ref = relocalization.relocalize(
+                    self.map, self.loop_closer.db, self.vocab, e.res.frame,
+                    self._K, self._bf, e.frame_id,
+                )
+                if ok_r:
+                    self.ref_kf = ref
+                    self.last_frame = e.res.frame._replace(pose=Tcw_r, mp=frame_mp)
+                    self._have_velocity = False
+                    self._odom_skip_next = True
+                    self._record(e.timestamp, Tcw_r)
+                    return False  # flush in-flight frames; chain re-anchored
+            self._sync_odom_from_device()
+            if self.n_kf_host <= 5:
+                self.reset()
+            else:
+                self.state = TrackState.LOST
+                self._have_velocity = False
+                self._last_Tcw = None
+            return False
+
+        self.trajectory.append_rel(e.timestamp, e.ref_kf, e.res.T_rel)
+        # Device-side odom chain (no host fetch; see _update_odom).
+        if self._odom_dev is None and self._odom_Tcw is not None:
+            self._odom_dev = jnp.asarray(self._odom_Tcw, jnp.float32)
+        if self._odom_dev is None:
+            self._odom_dev = e.res.pose
+        elif self._odom_skip_next:
+            self._odom_skip_next = False
+        else:
+            self._odom_dev = _odom_step(self._odom_dev, e.res.velocity)
+        self._publish_pose(e.timestamp, e.res.pose)
+
+        if self._need_new_keyframe_stats(stats, frame_id=e.frame_id):
+            self._insert_keyframe_async(e.res.frame)
+        return True
 
     def _handle_result(self, res, timestamp: float):
         out = self._handle_result_impl(res, timestamp)
@@ -400,7 +605,12 @@ class SlamSystem:
         return out
 
     def _handle_result_impl(self, res, timestamp: float):
-        stats = np.asarray(res.stats)  # the single per-frame sync point
+        # The single per-frame sync point: ONE batched transfer for every
+        # host-needed output (a second/third np.asarray later in this method
+        # would each pay a full tunnel round trip, ~25 ms measured).
+        stats, pose_np, T_rel_np = jax.device_get(
+            (res.stats, res.pose, res.T_rel)
+        )
         while self._pending_redirects:
             self._apply_cull(*self._pending_redirects.pop(0))
         if self._box is not None:
@@ -419,6 +629,7 @@ class SlamSystem:
             self.map = res.state
         tracked_ok = stats[0] > 0
         n_inliers = int(stats[1])
+        self._update_health(tracked_ok, stats)
 
         # mbVO localization fallback (src/Tracking.cc:434-501): in
         # localization-only mode, when the local map no longer supports the
@@ -450,10 +661,10 @@ class SlamSystem:
             self._velocity_dev = res.velocity
             self._have_velocity = True
             self.last_frame = res.frame
-            self.trajectory.append_rel(timestamp, self.ref_kf, res.T_rel)
-            self._update_odom(np.asarray(res.pose))
+            self.trajectory.append_rel(timestamp, self.ref_kf, T_rel_np)
+            self._update_odom(pose_np)
             self.frame_id += 1
-            return np.asarray(res.pose)
+            return pose_np
         if tracked_ok:
             self._vo_mode = False
 
@@ -504,9 +715,9 @@ class SlamSystem:
         self.state = TrackState.OK
         self._velocity_dev = res.velocity
         self._have_velocity = True
-        self.trajectory.append_rel(timestamp, self.ref_kf, res.T_rel)
+        self.trajectory.append_rel(timestamp, self.ref_kf, T_rel_np)
         self.last_frame = res.frame
-        self._update_odom(np.asarray(res.pose))
+        self._update_odom(pose_np)
 
         if not self.localization_only and self._need_new_keyframe_stats(stats):
             if self.async_mapping:
@@ -529,7 +740,7 @@ class SlamSystem:
                         self._have_velocity = False
                         self._last_Tcw = None  # odom frame must not absorb the jump
         self.frame_id += 1
-        return np.asarray(res.pose)
+        return pose_np
 
     # ------------------------------------------------------------------
     # Live pose publication (ROS TF/Odometry/PoseArray analog,
@@ -556,6 +767,250 @@ class SlamSystem:
         for fn in self._pose_listeners:
             fn(sample)
 
+    # ------------------------------------------------------------------
+    # Per-stage runtime metrics (the FrameDrawer status-bar analog,
+    # src/FrameDrawer.cc:132-168: state + KFs + MPs + matches surface).
+    def stats(self) -> dict:
+        """Rolling runtime/health snapshot: per-stage latency percentiles
+        (ms) over recent windows, map/loop counters and the track state.
+        Cheap (no device fetch); printed at interval by run_slam.py."""
+
+        def pct(xs, q):
+            return float(np.percentile(np.asarray(xs), q)) if xs else None
+
+        gba = (
+            list(self.loop_closer.gba_runner.solve_ms)
+            if self.loop_closer is not None
+            and self.loop_closer.gba_runner is not None
+            else []
+        )
+        return {
+            "state": self.state.name,
+            "track_ms_p50": pct(self._metrics["track"], 50),
+            "track_ms_p90": pct(self._metrics["track"], 90),
+            "map_ms_p50": pct(self._metrics["map"], 50),
+            "loop_ms_p50": pct(self._metrics["loop"], 50),
+            "gba_ms_last": gba[-1] if gba else None,
+            "n_kf": self.n_kf_host,
+            "n_loops": self.n_loops_closed,
+            "n_frames": self.frame_id,
+            "n_resets": self.n_resets,
+            "in_flight": len(self._pending),
+            "ba_skipped": self._mapper.n_ba_skipped if self._mapper else 0,
+        }
+
+    # ------------------------------------------------------------------
+    def warmup(self, gba_buckets=(16, 32, 64), fuse_buckets=((16, 4096),),
+               verbose: bool = False):
+        """Pre-compile every device program an online run can reach, on
+        dummy inputs of the production shapes, so no frame ever pays an XLA
+        compile mid-sequence (compiles measured at 5-35 s each; an unwarmed
+        keyframe/loop/GBA shape bucket shows up as a multi-second latency
+        spike — the reference has no analog because C++ has no JIT, so
+        real-time parity REQUIRES this).
+
+        `gba_buckets`: live-keyframe compile buckets the detached GBA may
+        reach (powers of two up to max_keyframes). `fuse_buckets`:
+        (fuse_kfs, mp_cap) ladder for the post-loop SearchAndFuse. Walk more
+        rungs for long runs; each rung is one extra compile."""
+        import time as _t
+
+        from ..ops import ba as ba_ops
+        from . import frontend, initialization as init_mod
+        from . import keyframe_database as kdb
+        from . import local_mapping
+        from . import loop_closing as lc_mod
+        from .map_state import refresh_covis
+
+        c = self.config
+        K, dist, bf = self._K, self._dist, self._bf
+        depth_limit = jnp.float32(
+            self._depth_limit if self.sensor != Sensor.MONOCULAR else 0.0
+        )
+        mono = self.sensor == Sensor.MONOCULAR
+        has_depth = self.sensor == Sensor.RGBD
+        img = jnp.zeros((c.height, c.width), jnp.float32)
+        depth = jnp.ones((c.height, c.width), jnp.float32)
+        eye = jnp.eye(4)
+
+        def fresh():
+            return empty_map(c.max_keyframes, c.max_map_points, c.n_features)
+
+        steps: list[tuple[str, object]] = []
+
+        # -- frame build + fused tracking (both dispatch variants) ---------
+        if self.sensor == Sensor.STEREO:
+            steps.append((
+                "build_frame_stereo",
+                lambda: frontend.build_frame_stereo(
+                    img, img, K, dist, bf, jnp.int32(0), self._orb_cfg,
+                    c.width, c.height,
+                ),
+            ))
+        steps.append((
+            "build_frame_only",
+            lambda: frontend.build_frame_only(
+                img, depth, K, dist, bf, jnp.int32(0), self._orb_cfg,
+                has_depth, c.width, c.height,
+            ),
+        ))
+
+        def frame_dummy():
+            return frontend.build_frame_only(
+                img, depth, K, dist, bf, jnp.int32(0), self._orb_cfg,
+                has_depth, c.width, c.height,
+            )
+
+        def warm_track():
+            frame = frame_dummy()
+            if self.sensor == Sensor.STEREO:
+                fn = (
+                    frontend.track_frame_shared
+                    if self.async_mapping
+                    else frontend.track_frame
+                )
+                fn(
+                    fresh(), frame, frame, eye, jnp.asarray(True), jnp.int32(0),
+                    K, bf, depth_limit, c.width, c.height, mono, self.vocab,
+                    vo_points=False,
+                )
+            else:
+                fn = (
+                    frontend.process_frame_shared
+                    if self.async_mapping
+                    else frontend.process_frame
+                )
+                fn(
+                    fresh(), img, depth, frame, eye, jnp.asarray(True),
+                    jnp.int32(0), K, dist, bf, depth_limit, jnp.int32(1),
+                    self._orb_cfg, has_depth, c.width, c.height, mono,
+                    self.vocab, vo_points=False,
+                )
+
+        steps.append(("fused_tracking", warm_track))
+
+        # -- initialization (depth sensors) --------------------------------
+        if self.sensor != Sensor.MONOCULAR:
+            steps.append((
+                "init_map_depth",
+                lambda: init_mod.create_initial_map_depth(fresh(), frame_dummy(), K),
+            ))
+
+        # -- keyframe insertion + mapping round ----------------------------
+        if self.async_mapping:
+            steps.append((
+                "append_keyframe",
+                lambda: frontend.append_keyframe_only(
+                    fresh(), frame_dummy(), K, bf, depth_limit
+                ),
+            ))
+        else:
+            steps.append((
+                "insert_keyframe_fused",
+                lambda: frontend.insert_keyframe_fused(
+                    fresh(), frame_dummy(), K, bf, depth_limit,
+                    jax.random.key(0), self.vocab,
+                ),
+            ))
+        for allow_ba in (True, False):
+            steps.append((
+                f"mapping_pipeline(ba={allow_ba})",
+                lambda allow_ba=allow_ba: frontend.mapping_pipeline(
+                    fresh(), jnp.int32(0), K, bf, jax.random.key(0),
+                    allow_ba, voc=self.vocab,
+                ),
+            ))
+        steps.append((
+            "cull_force",
+            lambda: local_mapping.cull_keyframes(fresh(), jnp.int32(0), force=True),
+        ))
+
+        # -- loop pipeline -------------------------------------------------
+        if self.loop_closer is not None:
+            dummy_db = kdb.empty_database(
+                c.max_keyframes, c.n_features, self.vocab.n_words
+            )
+            s0 = fresh()
+            steps.append((
+                "db_add",
+                lambda: kdb.add_keyframe(
+                    dummy_db, self.vocab, jnp.int32(0),
+                    s0.kf_desc[0], s0.kf_kp_valid[0],
+                ),
+            ))
+            steps.append((
+                "db_add_and_detect",
+                lambda: kdb.add_and_detect(dummy_db, self.vocab, s0, jnp.int32(0)),
+            ))
+            steps.append((
+                "compute_sim3",
+                lambda: lc_mod.compute_sim3(
+                    s0, jnp.int32(0), jnp.int32(1), K, jax.random.key(0),
+                    fix_scale=self.sensor != Sensor.MONOCULAR, voc=self.vocab,
+                ),
+            ))
+            steps.append((
+                "correct_loop",
+                lambda: lc_mod.correct_loop(fresh(), jnp.int32(1), jnp.int32(0), eye),
+            ))
+            steps.append(("fuse_sizes", lambda: lc_mod._fuse_sizes(
+                s0, jnp.int32(0), jnp.int32(1))))
+            for fk, mc in fuse_buckets:
+                steps.append((
+                    f"search_and_fuse({fk},{mc})",
+                    lambda fk=fk, mc=mc: lc_mod.search_and_fuse(
+                        fresh(), jnp.int32(1), jnp.int32(0), K,
+                        fuse_kfs=fk, mp_cap=mc,
+                    ),
+                ))
+            steps.append(("refresh_covis", lambda: refresh_covis(fresh())))
+
+            chunk = (
+                self.loop_closer.gba_runner.chunk_iters
+                if self.loop_closer.gba_runner is not None
+                else 3
+            )
+            cg = (
+                self.loop_closer.gba_runner.cg_iters
+                if self.loop_closer.gba_runner is not None
+                else 32
+            )
+
+            def warm_gba(kb):
+                prob, slots, used = lc_mod.build_global_ba_problem_compact(
+                    s0, K, bf, kb
+                )
+                for robust in (True, False):
+                    ba_ops.ba_step_count_lam(
+                        prob, jnp.float32(1e-4), iters=chunk, cg_iters=cg,
+                        robust=robust,
+                    )
+                prob2 = ba_ops.classify_outliers(prob)
+                poses_full, fixed_full = lc_mod.expand_gba_result(
+                    s0.kf_pose, prob2.poses, prob2.cam_fixed, slots, used
+                )
+                lc_mod.merge_gba_into_live(
+                    fresh(), s0.kf_seq, s0.kf_valid, s0.mp_first_seq,
+                    s0.mp_valid, poses_full, prob2.points, fixed_full,
+                )
+
+            for kb in gba_buckets:
+                if kb <= c.max_keyframes:
+                    steps.append((f"gba_chunk(kb={kb})", lambda kb=kb: warm_gba(kb)))
+
+        steps.append(("odom_step", lambda: _odom_step(eye, eye)))
+
+        for name, thunk in steps:
+            t0 = _t.perf_counter()
+            try:
+                jax.block_until_ready(thunk())
+            except Exception as exc:  # pragma: no cover — warmup best-effort
+                if verbose:
+                    print(f"warmup {name}: FAILED {exc!r}")
+                continue
+            if verbose:
+                print(f"warmup {name}: {_t.perf_counter() - t0:.1f}s", flush=True)
+
     def activate_localization_mode(self):
         """Tracking-only mode: no new keyframes or map mutation
         (System::ActivateLocalizationMode, src/System.cc:539-547)."""
@@ -578,6 +1033,9 @@ class SlamSystem:
         self._have_velocity = False
         self._last_Tcw = None
         self._pending_redirects = []
+        self._pending.clear()
+        self._odom_dev = None
+        self._odom_skip_next = False
         self._vo_mode = False
         self.n_resets += 1
         self.trajectory = Trajectory()
@@ -597,12 +1055,15 @@ class SlamSystem:
         if self.async_mapping:
             self._start_async()
 
-    def _need_new_keyframe_stats(self, stats) -> bool:
+    def _need_new_keyframe_stats(self, stats, frame_id: int | None = None) -> bool:
         """NeedNewKeyFrame on the fused stats vector (same thresholds as
-        src/Tracking.cc:1120-1204)."""
+        src/Tracking.cc:1120-1204). `frame_id` defaults to the current frame
+        (sync path); the pipelined path passes the decided frame's own id."""
         n_inliers = stats[1]
         ref_matches = stats[3]
-        frames_since = self.frame_id - self.last_kf_frame
+        frames_since = (
+            self.frame_id if frame_id is None else frame_id
+        ) - self.last_kf_frame
         ref_ratio = 0.9 if self.sensor == Sensor.MONOCULAR else 0.75
         c1a = frames_since >= self._max_frames
         c1b = frames_since >= max(self._min_frames, 1)
@@ -791,6 +1252,7 @@ class SlamSystem:
         """Persist the map (System::SaveMap analog, src/System.cc:807-848)."""
         from ..utils import serialization
 
+        self.flush()
         self._refresh_from_box()
         serialization.save_map(
             self.map, path,
@@ -820,10 +1282,12 @@ class SlamSystem:
         self._publish_fresh_map()
 
     def save_trajectory_tum(self, path):
+        self.flush()
         self._refresh_from_box()
         self.trajectory.save_tum(path, np.asarray(self.map.kf_pose))
 
     def save_trajectory_kitti(self, path):
+        self.flush()
         self._refresh_from_box()
         self.trajectory.save_kitti(path, np.asarray(self.map.kf_pose))
 
@@ -833,6 +1297,7 @@ class SlamSystem:
         """Tcw of every live keyframe, id order (System::GetPoseArray,
         src/System.cc:751-785; published as /PoseGraph PoseArray,
         src/ros_rgbd.cc:177,444-506)."""
+        self.flush()
         self._refresh_from_box()
         valid = np.asarray(self.map.kf_valid)
         poses = np.asarray(self.map.kf_pose)
@@ -844,6 +1309,7 @@ class SlamSystem:
         reference links consecutive ids; we also expose the true covisibility
         edges (weight >= 15) the reference keeps in KeyFrame::UpdateConnections
         (src/KeyFrame.cc:290-380) since our map stores them as an array."""
+        self.flush()
         self._refresh_from_box()
         valid = np.asarray(self.map.kf_valid)
         poses = np.asarray(self.map.kf_pose)
@@ -878,10 +1344,30 @@ class SlamSystem:
             self._odom_Tcw = diff_twc @ self._odom_Tcw
         self._last_Tcw = Tcw.copy()
 
+    def _sync_odom_from_device(self):
+        """Fold the device-side odom chain back into the host chain (used on
+        pipeline flush, so the sync path resumes from the right frame)."""
+        if self._odom_dev is not None:
+            self._odom_Tcw = np.asarray(self._odom_dev, np.float64)
+            self._odom_dev = None
+            self._last_Tcw = None
+
     @property
     def odom_pose(self) -> np.ndarray | None:
-        """T_cam_odom (4,4) in the odometry frame, or None before tracking."""
+        """T_cam_odom (4,4) in the odometry frame, or None before tracking.
+        On the pipelined path this materializes the device-side chain (one
+        transfer, paid by the caller who asked)."""
+        if self._odom_dev is not None:
+            return np.asarray(self._odom_dev, np.float64)
         return None if self._odom_Tcw is None else self._odom_Tcw.copy()
+
+
+@jax.jit
+def _odom_step(odom: jax.Array, diff_twc: jax.Array) -> jax.Array:
+    """One odometry-chain update entirely on device (the mPoseDiff.mTwc
+    accumulation, src/Tracking.cc:528-557, without the per-frame host
+    fetch): odom' = diff @ odom."""
+    return lie.orthonormalize(diff_twc @ odom)
 
 
 @jax.jit

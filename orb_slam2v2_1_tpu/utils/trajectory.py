@@ -21,8 +21,11 @@ from ..ops import lie
 class TrajectoryEntry:
     timestamp: float
     ref_kf: int
-    T_rel: np.ndarray  # (4,4) Tcw_frame @ Twc_refkf
+    T_rel: np.ndarray  # (4,4) Tcw_frame @ Twc_refkf — may be a DEVICE array
     lost: bool = False
+    # Redirect corrections accumulated while T_rel is still a device array
+    # (right-multiplied at materialization time).
+    post: np.ndarray | None = None
 
 
 class Trajectory:
@@ -36,10 +39,13 @@ class Trajectory:
         self.entries.append(TrajectoryEntry(timestamp, ref_kf, T_rel, lost))
 
     def append_rel(self, timestamp: float, ref_kf: int, T_rel, lost=False):
-        """Record a device-computed relative pose (fused front-end path)."""
-        self.entries.append(
-            TrajectoryEntry(timestamp, ref_kf, np.asarray(T_rel, np.float64), lost)
-        )
+        """Record a device-computed relative pose (fused front-end path).
+
+        T_rel may stay a device array: the per-frame device->host fetch is a
+        full tunnel round trip (~25 ms measured), so the pipelined online
+        path defers it; `_materialize` batches all outstanding fetches into
+        one transfer at save/eval time."""
+        self.entries.append(TrajectoryEntry(timestamp, ref_kf, T_rel, lost))
 
     def redirect_kf(self, victim: int, parent: int, T_victim_wrt_parent):
         """Rewrite entries referencing an erased keyframe onto its spanning-
@@ -50,12 +56,32 @@ class Trajectory:
         T = np.asarray(T_victim_wrt_parent, np.float64)
         for e in self.entries:
             if e.ref_kf == victim:
-                e.T_rel = e.T_rel @ T
+                if isinstance(e.T_rel, np.ndarray):
+                    e.T_rel = e.T_rel @ T
+                else:
+                    e.post = T if e.post is None else e.post @ T
                 e.ref_kf = parent
+
+    def _materialize(self):
+        """Fetch all device-held relative poses in ONE batched transfer and
+        fold in any redirect corrections accumulated meanwhile."""
+        lazy = [i for i, e in enumerate(self.entries)
+                if not isinstance(e.T_rel, np.ndarray)]
+        if lazy:
+            import jax
+
+            vals = jax.device_get([self.entries[i].T_rel for i in lazy])
+            for i, v in zip(lazy, vals):
+                self.entries[i].T_rel = np.asarray(v, np.float64)
+        for e in self.entries:
+            if e.post is not None:
+                e.T_rel = e.T_rel @ e.post
+                e.post = None
 
     def absolute_poses(self, kf_poses: np.ndarray) -> list[tuple[float, np.ndarray]]:
         """Resolve to absolute Twc using the *current* (optimized) keyframe
         poses. Returns [(t, Twc)] skipping lost frames."""
+        self._materialize()
         out = []
         for e in self.entries:
             if e.lost:
