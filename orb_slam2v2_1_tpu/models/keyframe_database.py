@@ -36,7 +36,12 @@ def empty_database(max_kf: int, n_kp: int, n_words: int) -> BowDatabase:
     )
 
 
-@partial(jax.jit, donate_argnames=("db",))
+# NOT donated: the BoW database is written by the loop worker but read
+# concurrently by the tracking thread (relocalization candidates); donating
+# would delete buffers the reader still holds (observed use-after-free on
+# the pipelined path). The preserved-input copy is ~5 MB of HBM traffic per
+# keyframe — microseconds at chip bandwidth.
+@jax.jit
 def add_keyframe(
     db: BowDatabase, voc: vocab.Vocabulary, kf_id: jax.Array,
     desc: jax.Array, kp_valid: jax.Array,
@@ -53,7 +58,7 @@ def add_keyframe(
     )
 
 
-@partial(jax.jit, donate_argnames=("db",))
+@jax.jit
 def add_and_detect_batch(
     db: BowDatabase, voc: vocab.Vocabulary, state: MapState, slots: jax.Array,
 ):
@@ -88,7 +93,21 @@ def add_and_detect_batch(
     return db, scores, cand & ok[:, None]
 
 
-@partial(jax.jit, donate_argnames=("db",))
+@jax.jit
+def add_keyframe_from_state(
+    db: BowDatabase, voc: vocab.Vocabulary, state, kf_id: jax.Array,
+) -> BowDatabase:
+    """Registration-only path with the keyframe row sliced INSIDE the jit:
+    an eager `state.kf_desc[int]` outside bakes the index into a throwaway
+    gather program per keyframe id (a fresh XLA compile on the worker thread
+    while it holds the structural lock — measured as multi-hundred-ms
+    tracking stalls at keyframe cadence)."""
+    return add_keyframe(
+        db, voc, kf_id, state.kf_desc[kf_id], state.kf_kp_valid[kf_id]
+    )
+
+
+@jax.jit
 def add_and_detect(
     db: BowDatabase, voc: vocab.Vocabulary, state: MapState, kf_id: jax.Array,
 ):

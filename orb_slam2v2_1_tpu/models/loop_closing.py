@@ -873,9 +873,9 @@ class LoopCloser:
         self.kf_counter += 1
         if n_kf < 12 or self.kf_counter - self.last_loop_seq < 10:
             # Registration only: one async dispatch, no host round-trip.
-            self.db = kdb.add_keyframe(
-                self.db, self.vocab, jnp.int32(kf_id),
-                state.kf_desc[kf_id], state.kf_kp_valid[kf_id],
+            # (Row sliced inside the jit — see add_keyframe_from_state.)
+            self.db = kdb.add_keyframe_from_state(
+                self.db, self.vocab, state, jnp.int32(kf_id)
             )
             self.consistency.update([])
             return None

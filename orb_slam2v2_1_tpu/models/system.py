@@ -73,7 +73,7 @@ class SlamSystem:
     # pipelined mode `track_*` returns the CURRENT frame's pose as a device
     # array (np.asarray(it) to materialize — that is where the RTT went).
     pipelined: bool = False
-    pipeline_depth: int = 3
+    pipeline_depth: int = 4
     # Pipelining engages only while tracking is HEALTHY (established map +
     # this inlier margin over the reference's 30-inlier OK threshold,
     # src/Tracking.cc:1110-1113): the reference's keyframe decision has zero
@@ -137,6 +137,17 @@ class SlamSystem:
         self._odom_dev = None  # device-side odom chain (pipelined path)
         self._odom_skip_next = False
         self._pipeline_healthy = False
+        # EMA of per-frame decay of the tracked-close count, used to
+        # anticipate the keyframe trigger by the decision lag (see
+        # _need_new_keyframe_stats).
+        self._close_decay = 0.0
+        self._prev_close = None
+        # Transient-dip grace budget (pipelined drain only): frames already
+        # in flight when a keyframe trigger lands can dip below the
+        # 30-inlier OK bar before the densified keyframe reaches them; up to
+        # 2 consecutive such frames ride their stage-2 pose instead of
+        # declaring loss (their 15+ gated inliers still pin the pose).
+        self._grace_left = 0
         # Rolling per-stage latency metrics (ms) — the FrameDrawer status-bar
         # analog (src/FrameDrawer.cc:132-168); see stats().
         self._metrics = {
@@ -207,13 +218,24 @@ class SlamSystem:
             # src/LoopClosing.cc:588).
             self.loop_closer.enable_detached_gba()
 
-            def loop_fn(state, kf_id):
+            def loop_fn(snapshot, kf_id):
+                # Detection on the snapshot, lock-free; returns the closure
+                # application (run under the structural lock) or None.
                 t0 = _time.perf_counter()
-                out = self.loop_closer.on_keyframe(
-                    state, int(kf_id), self.n_kf_host
+                trig = self.loop_closer.detect_loop(
+                    snapshot, int(kf_id), self.n_kf_host
                 )
                 self._metrics["loop"].append((_time.perf_counter() - t0) * 1e3)
-                return out
+                if trig is None:
+                    return None
+                cand, S12 = trig
+
+                def apply(state):
+                    return self.loop_closer.apply_closure(
+                        state, int(kf_id), cand, S12
+                    )
+
+                return apply
 
             def loop_service_fn():
                 self.loop_closer.service_gba(self._box)
@@ -553,6 +575,31 @@ class SlamSystem:
 
         tracked_ok = stats[0] > 0
         self._update_health(tracked_ok, stats)
+        # Tracked-close decay estimate (for keyframe-trigger anticipation).
+        if tracked_ok:
+            if self._prev_close is not None:
+                self._close_decay = 0.7 * self._close_decay + 0.3 * max(
+                    0.0, self._prev_close - float(stats[4])
+                )
+            self._prev_close = float(stats[4])
+        else:
+            self._prev_close = None
+        if tracked_ok:
+            self._grace_left = 2
+        elif stats[1] >= 15 and self._grace_left > 0:
+            # Transient dip: bridge on the stage-2 pose (see _grace_left).
+            self._grace_left -= 1
+            self.trajectory.append_rel(e.timestamp, e.ref_kf, e.res.T_rel)
+            if self._odom_dev is None and self._odom_Tcw is not None:
+                self._odom_dev = jnp.asarray(self._odom_Tcw, jnp.float32)
+            if self._odom_dev is None:
+                self._odom_dev = e.res.pose
+            elif self._odom_skip_next:
+                self._odom_skip_next = False
+            else:
+                self._odom_dev = _odom_step(self._odom_dev, e.res.velocity)
+            self._publish_pose(e.timestamp, e.res.pose)
+            return True
         if not tracked_ok:
             self.trajectory.append_rel(
                 e.timestamp, e.ref_kf, np.eye(4), lost=True
@@ -595,8 +642,17 @@ class SlamSystem:
             self._odom_dev = _odom_step(self._odom_dev, e.res.velocity)
         self._publish_pose(e.timestamp, e.res.pose)
 
-        if self._need_new_keyframe_stats(stats, frame_id=e.frame_id):
-            self._insert_keyframe_async(e.res.frame)
+        if self._need_new_keyframe_stats(
+            stats, frame_id=e.frame_id, lag=len(self._pending) + 1
+        ):
+            # Insert the NEWEST tracked frame, not the decided (stale) one:
+            # the reference's CreateNewKeyFrame uses mCurrentFrame
+            # (src/Tracking.cc:1206) — under decision lag the newest frame's
+            # view is what the map must cover to keep the next frames fed.
+            newest = (
+                self._pending[-1].res.frame if self._pending else self.last_frame
+            )
+            self._insert_keyframe_async(newest)
         return True
 
     def _handle_result(self, res, timestamp: float):
@@ -722,13 +778,17 @@ class SlamSystem:
         if not self.localization_only and self._need_new_keyframe_stats(stats):
             if self.async_mapping:
                 self._insert_keyframe_async(res.frame)
-                self.last_frame = res.frame._replace(mp=self.map.kf_mp[self.ref_kf])
+                self.last_frame = res.frame._replace(
+                    mp=self.map.kf_mp[jnp.int32(self.ref_kf)]
+                )
             else:
                 self._insert_keyframe_fused(res.frame)
                 # Mapping (cull/fuse) may have merged or killed points: re-read
                 # this frame's associations from its own keyframe row (the
                 # reference's shared-pointer MapPoint::Replace semantics).
-                self.last_frame = res.frame._replace(mp=self.map.kf_mp[self.ref_kf])
+                self.last_frame = res.frame._replace(
+                    mp=self.map.kf_mp[jnp.int32(self.ref_kf)]
+                )
                 # Loop pipeline (the LoopClosing thread body) after insertion.
                 if self.loop_closer is not None:
                     self.map, closed = self.loop_closer.on_keyframe(
@@ -869,23 +929,22 @@ class SlamSystem:
                     if self.async_mapping
                     else frontend.track_frame
                 )
-                fn(
+                return fn(
                     fresh(), frame, frame, eye, jnp.asarray(True), jnp.int32(0),
                     K, bf, depth_limit, c.width, c.height, mono, self.vocab,
                     vo_points=False,
                 )
-            else:
-                fn = (
-                    frontend.process_frame_shared
-                    if self.async_mapping
-                    else frontend.process_frame
-                )
-                fn(
-                    fresh(), img, depth, frame, eye, jnp.asarray(True),
-                    jnp.int32(0), K, dist, bf, depth_limit, jnp.int32(1),
-                    self._orb_cfg, has_depth, c.width, c.height, mono,
-                    self.vocab, vo_points=False,
-                )
+            fn = (
+                frontend.process_frame_shared
+                if self.async_mapping
+                else frontend.process_frame
+            )
+            return fn(
+                fresh(), img, depth, frame, eye, jnp.asarray(True),
+                jnp.int32(0), K, dist, bf, depth_limit, jnp.int32(1),
+                self._orb_cfg, has_depth, c.width, c.height, mono,
+                self.vocab, vo_points=False,
+            )
 
         steps.append(("fused_tracking", warm_track))
 
@@ -933,9 +992,8 @@ class SlamSystem:
             s0 = fresh()
             steps.append((
                 "db_add",
-                lambda: kdb.add_keyframe(
-                    dummy_db, self.vocab, jnp.int32(0),
-                    s0.kf_desc[0], s0.kf_kp_valid[0],
+                lambda: kdb.add_keyframe_from_state(
+                    dummy_db, self.vocab, s0, jnp.int32(0)
                 ),
             ))
             steps.append((
@@ -980,30 +1038,77 @@ class SlamSystem:
                 prob, slots, used = lc_mod.build_global_ba_problem_compact(
                     s0, K, bf, kb
                 )
+                outs = []
                 for robust in (True, False):
-                    ba_ops.ba_step_count_lam(
+                    outs.append(ba_ops.ba_step_count_lam(
                         prob, jnp.float32(1e-4), iters=chunk, cg_iters=cg,
                         robust=robust,
-                    )
+                    ))
                 prob2 = ba_ops.classify_outliers(prob)
                 poses_full, fixed_full = lc_mod.expand_gba_result(
                     s0.kf_pose, prob2.poses, prob2.cam_fixed, slots, used
                 )
-                lc_mod.merge_gba_into_live(
+                merged = lc_mod.merge_gba_into_live(
                     fresh(), s0.kf_seq, s0.kf_valid, s0.mp_first_seq,
                     s0.mp_valid, poses_full, prob2.points, fixed_full,
                 )
+                return outs, merged
 
             for kb in gba_buckets:
                 if kb <= c.max_keyframes:
                     steps.append((f"gba_chunk(kb={kb})", lambda kb=kb: warm_gba(kb)))
 
+            # Relocalization solvers (fire on any marginal frame; unwarmed
+            # they cost a multi-second compile exactly when the track is
+            # struggling).
+            from ..ops import vocab as vocab_ops
+            from . import relocalization as reloc_mod
+
+            def warm_reloc():
+                fr = frame_dummy()
+                words = vocab_ops.assign_words(self.vocab, fr.desc_pm1)
+                out1 = kdb.detect_reloc_candidates(
+                    dummy_db, s0, words, fr.kp_valid, self.vocab.word_weight
+                )
+                out2 = reloc_mod._match_and_pnp(
+                    s0, fr, jnp.int32(0), K, bf, jax.random.key(0)
+                )
+                return out1, out2
+
+            steps.append(("relocalize", warm_reloc))
+
         steps.append(("odom_step", lambda: _odom_step(eye, eye)))
+
+        # Tiny eager programs the host path touches (each first use is a
+        # fresh XLA compile + tunnel round trip): keypoint-count reduce,
+        # dynamic keyframe-row gathers, bool/scalar constants.
+        def warm_eager():
+            fr = frame_dummy()
+            int(fr.kp_valid.sum())
+            s = fresh()
+            jax.block_until_ready(s.kf_mp[jnp.int32(0)])
+            jax.block_until_ready(s.kf_pose[jnp.int32(0)])
+            return jnp.asarray(True), jnp.asarray(False)
+
+        steps.append(("eager_bits", warm_eager))
+
+        def force(out):
+            # block_until_ready is advisory on tunnel-attached backends
+            # (returns at enqueue); a real element fetch is the only barrier
+            # that guarantees the dummy execution finished — without it the
+            # first real frame queues behind the whole warmup backlog.
+            # Fetch from the LAST leaf: the device executes programs in
+            # order, so one element of the last dispatched output is a
+            # barrier for the whole thunk.
+            for leaf in reversed(jax.tree.leaves(out)):
+                if hasattr(leaf, "ravel") and leaf.size:
+                    np.asarray(jax.device_get(leaf.ravel()[:1]))
+                    return
 
         for name, thunk in steps:
             t0 = _t.perf_counter()
             try:
-                jax.block_until_ready(thunk())
+                force(thunk())
             except Exception as exc:  # pragma: no cover — warmup best-effort
                 if verbose:
                     print(f"warmup {name}: FAILED {exc!r}")
@@ -1055,10 +1160,18 @@ class SlamSystem:
         if self.async_mapping:
             self._start_async()
 
-    def _need_new_keyframe_stats(self, stats, frame_id: int | None = None) -> bool:
+    def _need_new_keyframe_stats(
+        self, stats, frame_id: int | None = None, lag: int = 0
+    ) -> bool:
         """NeedNewKeyFrame on the fused stats vector (same thresholds as
         src/Tracking.cc:1120-1204). `frame_id` defaults to the current frame
-        (sync path); the pipelined path passes the decided frame's own id."""
+        (sync path); the pipelined path passes the decided frame's own id
+        and the decision `lag` (frames dispatched since this one). The
+        tracked-close trigger is anticipated by lag x the measured per-frame
+        decay: by the time a lagged decision lands, the view has rotated
+        `lag` frames further — without the anticipation a fast sweep decays
+        through the <100 threshold to zero inliers before the densified
+        keyframe can help (observed on the orbit bench)."""
         n_inliers = stats[1]
         ref_matches = stats[3]
         frames_since = (
@@ -1068,10 +1181,11 @@ class SlamSystem:
         c1a = frames_since >= self._max_frames
         c1b = frames_since >= max(self._min_frames, 1)
         c2 = (n_inliers < ref_matches * ref_ratio) and n_inliers > 15
+        anticipate = lag * self._close_decay
         need_close = (
             self.sensor != Sensor.MONOCULAR
             and self.config.bf > 0
-            and stats[4] < 100
+            and stats[4] - anticipate < 100
             and stats[5] > 70
         )
         need = (c1b and (c2 or need_close)) or c1a
@@ -1181,10 +1295,10 @@ class SlamSystem:
             self.map, kf0, n_mp = initialization.create_initial_map_depth(
                 self.map, frame, self._K
             )
+            frame = frame._replace(mp=self.map.kf_mp[kf0])  # dynamic index
             self.ref_kf = int(kf0)
             self.n_kf_host = 1
             self.last_kf_frame = self.frame_id
-            frame = frame._replace(mp=self.map.kf_mp[int(kf0)])
             self.last_frame = frame
             self._publish_fresh_map()
             return True
@@ -1244,7 +1358,9 @@ class SlamSystem:
             timestamp,
             self.ref_kf,
             np.asarray(Tcw),
-            np.asarray(self.map.kf_pose[self.ref_kf]),
+            # Dynamic index: a Python-int index would bake the slot id into
+            # a throwaway gather compile per distinct value.
+            np.asarray(self.map.kf_pose[jnp.int32(self.ref_kf)]),
             lost=lost,
         )
 

@@ -81,7 +81,9 @@ class AsyncMapper:
     """Local-mapping + loop-closing workers behind native queues.
 
     mapping_fn(state, kf_id, allow_ba) -> state
-    loop_fn(state, kf_id) -> (state, closed: bool)  [optional]
+    loop_fn(snapshot, kf_id) -> None | (state -> state)  [optional]
+      Detection half runs lock-free on the snapshot; a non-None return is
+      the closure-application function, run under the structural lock.
     """
 
     def __init__(self, box: MapBox, mapping_fn, loop_fn=None, queue_cap: int = 32,
@@ -130,16 +132,17 @@ class AsyncMapper:
 
     def _loop_step(self, msg: bytes):
         (kf_id,) = struct.unpack("<i", msg)
-        closed_cell = [False]
-
-        def step(state):
-            # Unchanged state republished on no-loop rounds: harmless (same
-            # arrays, just a version bump dropping pending advisory stats).
-            new_state, closed_cell[0] = self._loop_fn(state, kf_id)
-            return new_state
-
-        self.box.mutate(step)
-        if closed_cell[0]:
+        # Detection is READ-ONLY on the map (BoW registration mutates only
+        # the loop thread's own database): run it on a snapshot OUTSIDE the
+        # structural lock, so keyframe insertion and mapping never wait on
+        # the detector's device round-trips. Only an accepted closure takes
+        # the lock, for the correction itself (the reference's split between
+        # DetectLoop and CorrectLoop's map-update mutex,
+        # src/LoopClosing.cc:113,462).
+        snapshot, _ = self.box.read()
+        apply_fn = self._loop_fn(snapshot, kf_id)
+        if apply_fn is not None:
+            self.box.mutate(apply_fn)
             self.n_loops += 1
         if self._loop_service_fn is not None:
             self._loop_service_fn()

@@ -161,8 +161,12 @@ def test_async_mapper_loop_worker_publishes_on_closure():
     def mapping_fn(state, kf_id, allow_ba):
         return state + 1
 
-    def loop_fn(state, kf_id):
-        return state + 100, kf_id == 3  # "closes a loop" on kf 3
+    def loop_fn(snapshot, kf_id):
+        # Detection half: read-only on the snapshot; "closes a loop" on kf 3
+        # by returning the mutation to apply under the structural lock.
+        if kf_id == 3:
+            return lambda state: state + 100
+        return None
 
     m = AsyncMapper(box, mapping_fn, loop_fn=loop_fn)
     for i in range(5):
@@ -170,4 +174,6 @@ def test_async_mapper_loop_worker_publishes_on_closure():
     m.shutdown(drain=True)
     assert m.n_processed == 5
     assert m.n_loops == 1
+    state, _ = box.read()
+    assert state >= 100  # the closure mutation landed
     m.raise_worker_errors()
