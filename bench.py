@@ -78,18 +78,12 @@ def orbit_frames(cfg, n_frames):
     return np.stack(imgs), np.stack(deps)
 
 
-def headline(cfg):
+def headline(cfg, imgs, deps):
     from orb_slam2v2_1_tpu.models import offline
 
-    N, CHUNK = 321, 32
+    N, CHUNK = imgs.shape[0], 32
     K = jnp.asarray(cfg.K)
     bf = jnp.float32(cfg.bf)
-    t0 = time.time()
-    imgs, deps = orbit_frames(cfg, N)
-    log(f"rendered {N} frames in {time.time() - t0:.1f}s")
-    imgs = jax.device_put(jnp.asarray(imgs, jnp.float32))
-    deps = jax.device_put(jnp.asarray(deps, jnp.float32))
-    jax.block_until_ready((imgs, deps))
 
     def run():
         lc = make_loop_closer(cfg, K, bf)
@@ -111,48 +105,69 @@ def headline(cfg):
         walls.append(wall)
         assert n_ok >= N * 0.9, f"tracking failed: {n_ok}/{N}"
         assert lc.n_loops_closed >= 1, "no loop closed on the orbit"
-    wall = min(walls)  # steady state; tunnel hiccups inflate the others
+    walls = np.array(walls)
+    spread = (walls.max() - walls.min()) / walls.min()
+    wall = np.median(walls)  # robust central estimate; spread reported
     log(
-        f"loop-enabled scan: best {wall:.2f}s of {[f'{w:.2f}' for w in walls]} "
+        f"loop-enabled scan: median {wall:.2f}s of "
+        f"{[f'{w:.2f}' for w in walls]} (spread {spread * 100:.0f}%) "
         f"for {N} frames, {lc.n_loops_closed} loops closed, {n_ok}/{N} tracked, "
         f"GBA merged={lc.n_gba_merged} aborted={lc.gba_runner.n_aborted if lc.gba_runner else 0}"
     )
-    return N / wall
+    return N / wall, spread
 
 
-def online_latency(cfg):
-    """Per-frame latency through the online SlamSystem API (the reference's
-    per-frame TrackRGBD call, src/System.cc:424)."""
+def online_leg(cfg, frames):
+    """Per-frame latency through the ONLINE SlamSystem API in its production
+    configuration: async mapping workers + detached GBA + pipelined tracking
+    (the reference's per-frame TrackRGBD with LocalMapping/LoopClosing
+    threads, src/System.cc:124-143,424). Same orbit sequence as the
+    headline, so the run includes keyframes, mapping rounds, loop detection
+    and at least one full closure."""
     from orb_slam2v2_1_tpu.models.system import SlamSystem, Sensor
-    from orb_slam2v2_1_tpu.utils import synthetic
 
-    rng = np.random.default_rng(7)
-    scene = synthetic.make_desk(rng)
-    poses = synthetic.desk_trajectory(40)
-    poses = [p @ np.linalg.inv(poses[0]) for p in poses]
-    K = jnp.asarray(cfg.K)
-    frames = []
-    for Tcw in poses:
-        img, depth = synthetic.render(scene, jnp.asarray(Tcw), K, cfg.width, cfg.height)
-        frames.append(
-            (jax.device_put(jnp.asarray(img)), jax.device_put(jnp.asarray(depth)))
-        )
-    slam = SlamSystem(config=cfg, sensor=Sensor.RGBD)
+    slam = SlamSystem(
+        config=cfg, sensor=Sensor.RGBD, async_mapping=True, pipelined=True
+    )
+    t0 = time.time()
+    slam.warmup()
+    log(f"online warmup (compile walk) in {time.time() - t0:.1f}s")
     lat = []
+    t_run = time.time()
     for i, (img, depth) in enumerate(frames):
         t0 = time.perf_counter()
         slam.track_rgbd(img, depth, timestamp=i / 30.0)
         lat.append(time.perf_counter() - t0)
-    lat = np.array(lat[5:]) * 1e3  # skip compile frames
+    wall = time.time() - t_run
+    slam.flush()
+    n = len(frames)
+    fps = n / wall
+    lat = np.array(lat) * 1e3
+    out = {
+        "online_fps": round(fps, 2),
+        "online_p50_ms": round(float(np.percentile(lat, 50)), 1),
+        "online_p90_ms": round(float(np.percentile(lat, 90)), 1),
+        "online_p99_ms": round(float(np.percentile(lat, 99)), 1),
+        "online_max_ms": round(float(lat.max()), 1),
+        "online_loops": slam.n_loops_closed,
+        "online_kf": slam.n_kf_host,
+        "online_resets": slam.n_resets,
+    }
     log(
-        f"online latency (ms): p50={np.percentile(lat, 50):.1f} "
-        f"p90={np.percentile(lat, 90):.1f} max={lat.max():.1f}"
+        f"online pipelined: {fps:.1f} fps | p50={out['online_p50_ms']} "
+        f"p90={out['online_p90_ms']} p99={out['online_p99_ms']} "
+        f"max={out['online_max_ms']} ms | kf={slam.n_kf_host} "
+        f"loops={slam.n_loops_closed} resets={slam.n_resets}"
     )
+    log(f"online stage metrics: {slam.stats()}")
+    slam.shutdown()
+    return out
 
 
 def kitti_leg():
     """KITTI-geometry stereo: 1241x376, 2000 features, stereo pair tracking
-    (the reference's KITTI real-time configuration)."""
+    in the online pipelined configuration (the reference's KITTI real-time
+    setup; camera rate is 10 fps)."""
     from orb_slam2v2_1_tpu.models.system import SlamSystem, Sensor
     from orb_slam2v2_1_tpu.utils import synthetic
     from orb_slam2v2_1_tpu.utils.config import SlamConfig
@@ -166,7 +181,7 @@ def kitti_leg():
     room = synthetic.make_room(rng)
     K = jnp.asarray(cfg.K)
     baseline = cfg.bf / cfg.fx
-    n = 30
+    n = 60
     frames = []
     for i in range(n):
         Tcw = np.eye(4, dtype=np.float32)
@@ -177,23 +192,42 @@ def kitti_leg():
         img_l, _ = synthetic.render(room, jnp.asarray(Tcw), K, cfg.width, cfg.height)
         img_r, _ = synthetic.render(room, jnp.asarray(Tr), K, cfg.width, cfg.height)
         frames.append((jax.device_put(img_l), jax.device_put(img_r)))
-    slam = SlamSystem(config=cfg, sensor=Sensor.STEREO)
+    slam = SlamSystem(
+        config=cfg, sensor=Sensor.STEREO, async_mapping=True, pipelined=True
+    )
+    t0 = time.time()
+    slam.warmup(gba_buckets=(16, 32))
+    log(f"KITTI warmup in {time.time() - t0:.1f}s")
     lat = []
-    tracked = 0
+    t_run = time.time()
     for i, (l, r) in enumerate(frames):
         t0 = time.perf_counter()
-        out = slam.track_stereo(l, r, timestamp=i * 0.1)
+        slam.track_stereo(l, r, timestamp=i * 0.1)
         lat.append(time.perf_counter() - t0)
-        tracked += out is not None
-    lat = np.array(lat[5:]) * 1e3
-    log(
-        f"KITTI-geometry stereo (1241x376, 2000 feats): "
-        f"p50={np.percentile(lat, 50):.1f} ms ({1000.0 / np.percentile(lat, 50):.1f} fps), "
-        f"tracked {tracked}/{n}"
+    wall = time.time() - t_run
+    slam.flush()
+    tracked = sum(
+        1 for e in slam.trajectory.entries if not e.lost
     )
+    lat = np.array(lat) * 1e3
+    p50 = float(np.percentile(lat, 50))
+    out = {
+        "kitti_fps": round(n / wall, 2),
+        "kitti_p50_ms": round(p50, 1),
+        "kitti_p99_ms": round(float(np.percentile(lat, 99)), 1),
+    }
+    log(
+        f"KITTI-geometry stereo (1241x376, 2000 feats, pipelined): "
+        f"{out['kitti_fps']} fps, p50={out['kitti_p50_ms']} ms, "
+        f"p99={out['kitti_p99_ms']} ms, tracked {tracked}/{n}"
+    )
+    slam.shutdown()
+    return out
 
 
 def main():
+    import dataclasses
+
     from orb_slam2v2_1_tpu.utils.config import SlamConfig
 
     cfg = SlamConfig(
@@ -201,17 +235,28 @@ def main():
         n_features=1000, max_keyframes=128, max_map_points=16384, fps=10.0,
         bf=44.0, th_depth=100.0,
     )
-    fps = headline(cfg)
-    try:
-        import dataclasses
+    N = 321
+    t0 = time.time()
+    imgs, deps = orbit_frames(cfg, N)
+    log(f"rendered {N} frames in {time.time() - t0:.1f}s")
+    imgs_d = jax.device_put(jnp.asarray(imgs, jnp.float32))
+    deps_d = jax.device_put(jnp.asarray(deps, jnp.float32))
+    jax.block_until_ready((imgs_d, deps_d))
 
-        online_latency(dataclasses.replace(cfg, fps=30.0))
-    except Exception as e:  # detail legs must not kill the headline
-        log(f"online latency leg failed: {e}")
+    fps, spread = headline(cfg, imgs_d, deps_d)
+    extra = {}
     try:
-        kitti_leg()
+        frames = [
+            (jax.device_put(jnp.asarray(imgs[i])), jax.device_put(jnp.asarray(deps[i])))
+            for i in range(N)
+        ]
+        extra.update(online_leg(dataclasses.replace(cfg, fps=30.0), frames))
+    except Exception as e:  # detail legs must not kill the headline
+        log(f"online leg failed: {e!r}")
+    try:
+        extra.update(kitti_leg())
     except Exception as e:
-        log(f"KITTI leg failed: {e}")
+        log(f"KITTI leg failed: {e!r}")
     print(
         json.dumps(
             {
@@ -219,6 +264,8 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 30.0, 3),
+                "spread_pct": round(spread * 100, 1),
+                **extra,
             }
         )
     )

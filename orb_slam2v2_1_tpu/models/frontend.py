@@ -58,8 +58,8 @@ def _build_frame(img, depth, has_depth: bool, K, dist, bf, config: orb.OrbConfig
         d = jnp.where(edge_ok, d, -1.0)
         ur = jnp.where(d > 0, xy_u[:, 0] - bf / jnp.maximum(d, 1e-6), -1.0)
     else:
-        d = jnp.full(n, -1.0)
-        ur = jnp.full(n, -1.0)
+        d = jnp.full(n, -1.0, jnp.float32)
+        ur = jnp.full(n, -1.0, jnp.float32)
     return FrameData(
         xy=xy_u, level=feats.level, angle=feats.angle, desc=feats.desc,
         desc_pm1=feats.desc_pm1, kp_valid=feats.valid, ur=ur, depth=d,
@@ -333,6 +333,50 @@ def append_keyframe_only(
     """Append + stereo/depth densification only (non-donating: `state` is a
     shared MapBox snapshot)."""
     return _append_keyframe_body(state, frame, K, bf, depth_limit)
+
+
+@jax.jit
+def mapping_pre_ba(
+    state: MapState, kf_id: jax.Array, K: jax.Array, bf: jax.Array,
+    key: jax.Array, voc=None,
+):
+    """Mapping round up to (excluding) the BA solve — the split used when
+    local BA routes through the sharded engine (SlamSystem(mesh=...)):
+    window build/solve/write-back run as separate dispatches between this
+    and mapping_post_ba, same stage order as the fused pipeline."""
+    from . import local_mapping
+    from .map_state import update_mp_stats_window
+
+    state = local_mapping.cull_map_points(state, kf_id)
+    state = local_mapping.create_map_points(state, kf_id, K, bf, key, voc)
+    state = local_mapping.fuse_map_points(state, kf_id, K, bf)
+    return update_mp_stats_window(state, kf_id)
+
+
+@jax.jit
+def mapping_post_ba(state: MapState, kf_id: jax.Array):
+    """Keyframe culling + covisibility refresh after the (sharded) solve."""
+    from . import local_mapping
+    from .map_state import refresh_covis
+
+    state, victim, vparent, T_redirect = local_mapping.cull_keyframes(state, kf_id)
+    return refresh_covis(state), victim, vparent, T_redirect
+
+
+def mapping_pipeline_dist(
+    state: MapState, kf_id, K, bf, key, mesh, voc=None, allow_ba: bool = True,
+):
+    """Worker-side mapping round with the window BA sharded over `mesh`
+    (parallel/dist_ba.py): the product route for multi-device local BA
+    (reference hot solve, src/Optimizer.cc:453-780; SURVEY §2.3)."""
+    from . import local_mapping
+
+    state = mapping_pre_ba(state, jnp.int32(kf_id), K, bf, key, voc)
+    if allow_ba:
+        state, _ = local_mapping.local_bundle_adjustment_dist(
+            state, kf_id, K, bf, mesh
+        )
+    return mapping_post_ba(state, jnp.int32(kf_id))
 
 
 @partial(jax.jit, static_argnames=("allow_ba",))

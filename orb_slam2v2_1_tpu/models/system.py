@@ -82,6 +82,14 @@ class SlamSystem:
     # synchronous per-frame decisions, and only pipeline when a 2-3 frame
     # decision lag provably cannot cost the track.
     pipeline_min_inliers: int = 60
+    # Device mesh for the sharded optimization routes (SURVEY §2.3): when
+    # set (or "auto" -> all local devices), the per-keyframe local BA and
+    # the loop closer's global BA solve through parallel/dist_ba's
+    # psum-sharded LM engine, observations sharded over the mesh, camera
+    # system all-reduced over ICI. None = single-device fused solves (the
+    # right default on one chip; the GBA route still auto-shards on its
+    # own when >1 device is visible, loop_closing.run_global_bundle_adjustment).
+    mesh: object = None
 
     state: TrackState = TrackState.NO_IMAGES_YET
     map: MapState = None
@@ -98,6 +106,16 @@ class SlamSystem:
 
     def __post_init__(self):
         c = self.config
+        if self.mesh == "auto":
+            from jax.sharding import Mesh as _Mesh
+
+            self.mesh = (
+                _Mesh(np.array(jax.devices()), ("obs",))
+                if jax.device_count() > 1
+                else None
+            )
+        if self.mesh is not None and getattr(self.mesh, "size", 1) <= 1:
+            self.mesh = None
         self.map = empty_map(c.max_keyframes, c.max_map_points, c.n_features)
         self._K = jnp.asarray(c.K, jnp.float32)
         self._dist = jnp.asarray(c.dist, jnp.float32)
@@ -176,7 +194,7 @@ class SlamSystem:
             self.loop_closer = LoopCloser(
                 self.vocab, self.kf_db,
                 fix_scale=self.sensor != Sensor.MONOCULAR,
-                K=self._K, bf=self._bf,
+                K=self._K, bf=self._bf, mesh=self.mesh,
             )
         else:  # pragma: no cover — vocabulary artifact missing
             self.vocab = None
@@ -195,10 +213,17 @@ class SlamSystem:
 
         def mapping_fn(state, kf_id, allow_ba):
             t0 = _time.perf_counter()
-            state, victim, vparent, T_red = frontend.mapping_pipeline(
-                state, jnp.int32(kf_id), self._K, self._bf,
-                jax.random.key(kf_id), allow_ba, voc=self.vocab,
-            )
+            if self.mesh is not None:
+                state, victim, vparent, T_red = frontend.mapping_pipeline_dist(
+                    state, jnp.int32(kf_id), self._K, self._bf,
+                    jax.random.key(kf_id), self.mesh, voc=self.vocab,
+                    allow_ba=allow_ba,
+                )
+            else:
+                state, victim, vparent, T_red = frontend.mapping_pipeline(
+                    state, jnp.int32(kf_id), self._K, self._bf,
+                    jax.random.key(kf_id), allow_ba, voc=self.vocab,
+                )
             v = int(victim)  # blocking fetch: also makes the timing honest
             if v >= 0:
                 # Worker thread: queue the trajectory rewrite for the
@@ -350,8 +375,8 @@ class SlamSystem:
             d = jnp.where(edge_ok, d, -1.0)
             ur = jnp.where(d > 0, xy_u[:, 0] - self._bf / jnp.maximum(d, 1e-6), -1.0)
         else:
-            d = jnp.full(feats.xy.shape[0], -1.0)
-            ur = jnp.full(feats.xy.shape[0], -1.0)
+            d = jnp.full(feats.xy.shape[0], -1.0, jnp.float32)
+            ur = jnp.full(feats.xy.shape[0], -1.0, jnp.float32)
         return tracking.FrameData(
             xy=xy_u,
             level=feats.level,
@@ -916,6 +941,14 @@ class SlamSystem:
         ))
 
         def frame_dummy():
+            # Use the SENSOR'S OWN frame builder: a frame from a different
+            # builder can differ in weak-typing and miss the jit cache,
+            # recompiling every downstream program on the first real frame.
+            if self.sensor == Sensor.STEREO:
+                return frontend.build_frame_stereo(
+                    img, img, K, dist, bf, jnp.int32(0), self._orb_cfg,
+                    c.width, c.height,
+                )
             return frontend.build_frame_only(
                 img, depth, K, dist, bf, jnp.int32(0), self._orb_cfg,
                 has_depth, c.width, c.height,
@@ -1223,16 +1256,29 @@ class SlamSystem:
     def _insert_keyframe_fused(self, frame):
         from . import frontend
 
-        self.map, kf_id, _, victim, vparent, T_redirect = (
-            frontend.insert_keyframe_fused(
-                self.map, frame, self._K, self._bf,
-                jnp.float32(
-                    self._depth_limit if self.sensor != Sensor.MONOCULAR else 0.0
-                ),
-                jax.random.key(self.frame_id),
-                self.vocab,
-            )
+        depth_limit = jnp.float32(
+            self._depth_limit if self.sensor != Sensor.MONOCULAR else 0.0
         )
+        if self.mesh is not None:
+            # Sharded local BA (SlamSystem(mesh=...)): append + split
+            # mapping round with the window solved on the mesh.
+            self.map, kf_id = frontend.append_keyframe_only(
+                self.map, frame, self._K, self._bf, depth_limit
+            )
+            self.map, victim, vparent, T_redirect = (
+                frontend.mapping_pipeline_dist(
+                    self.map, kf_id, self._K, self._bf,
+                    jax.random.key(self.frame_id), self.mesh, voc=self.vocab,
+                )
+            )
+        else:
+            self.map, kf_id, _, victim, vparent, T_redirect = (
+                frontend.insert_keyframe_fused(
+                    self.map, frame, self._K, self._bf, depth_limit,
+                    jax.random.key(self.frame_id),
+                    self.vocab,
+                )
+            )
         self.ref_kf = int(kf_id)
         self.n_kf_host += 1
         self.last_kf_frame = self.frame_id

@@ -164,6 +164,119 @@ def make_desk(rng: np.random.Generator, tex_size: int = 512) -> PlaneScene:
     return PlaneScene(jnp.asarray(o), jnp.asarray(u), jnp.asarray(v), jnp.asarray(tex))
 
 
+def make_adversarial(rng: np.random.Generator, tex_size: int = 512,
+                     n_clutter: int = 28, low_texture_frac: float = 0.35,
+                     max_tilt_deg: float | None = None) -> PlaneScene:
+    """Adversarial close-range scene: non-axis-aligned clutter with heavy
+    self-occlusion, plus a fraction of LOW-TEXTURE surfaces.
+
+    Unlike make_desk/make_room (axis-aligned fronto-parallel faces), the
+    clutter planes here have random orientations (slanted normals — worst
+    case for the fronto-parallel BRIEF patch model), random sizes, and
+    overlap in depth so the z-buffer produces real occlusion boundaries
+    (depth edges with background leakage — what the 3x3 depth-edge filter
+    exists for). `low_texture_frac` of all surfaces get near-uniform
+    textures (contrast scaled to ~6 gray levels), creating featureless
+    holes in the view like white walls / table tops.
+
+    `max_tilt_deg` bounds the clutter normals' angle from the camera axis
+    (None = unconstrained random orientation). Monocular two-view
+    bootstrapping legitimately requires mostly camera-facing texture —
+    appearance on heavily slanted planes decorrelates within a frame or
+    two of baseline, and the reference's mono init fails the same way —
+    so the mono evaluation twin uses ~35 deg while depth sensors take the
+    unconstrained scene."""
+    planes = [
+        ([-3.0, -2.0, 4.0], [6.0, 0.0, 0.0], [0.0, 4.0, 0.0]),  # back wall
+        ([-3.0, 1.2, 0.5], [6.0, 0.0, 0.0], [0.0, 0.3, 3.5]),  # floor/desk
+    ]
+    for _ in range(n_clutter):
+        # Random center in the 1.2-3.5 m working volume.
+        c = np.array([
+            rng.uniform(-2.2, 2.2), rng.uniform(-1.4, 1.0),
+            rng.uniform(1.2, 3.5),
+        ])
+        # Random in-plane axes: random rotation, random extents.
+        if max_tilt_deg is None:
+            q = rng.standard_normal((3, 3))
+            qq, _ = np.linalg.qr(q)
+        else:
+            tilt = np.deg2rad(rng.uniform(0.0, max_tilt_deg))
+            azim = rng.uniform(0, 2 * np.pi)
+            n = np.array([
+                np.sin(tilt) * np.cos(azim), np.sin(tilt) * np.sin(azim),
+                -np.cos(tilt),
+            ])
+            roll = rng.uniform(0, 2 * np.pi)
+            a = np.cross(n, [0.0, 1.0, 0.0])
+            a /= max(np.linalg.norm(a), 1e-9)
+            b = np.cross(n, a)
+            qq = np.stack(
+                [np.cos(roll) * a + np.sin(roll) * b,
+                 -np.sin(roll) * a + np.cos(roll) * b, n], axis=1,
+            )
+        w, h = rng.uniform(0.3, 0.9, 2)
+        ux = qq[:, 0] * w
+        vy = qq[:, 1] * h
+        planes.append((c - ux / 2 - vy / 2, ux, vy))
+    tex = []
+    for i in range(len(planes)):
+        t = blob_texture(rng, tex_size)
+        if rng.uniform() < low_texture_frac:
+            t = 120.0 + (t - t.mean()) * 0.025  # ~6 gray levels of contrast
+        tex.append(t)
+    o, u, v = (np.asarray([np.asarray(p[i], np.float32) for p in planes])
+               for i in range(3))
+    return PlaneScene(
+        jnp.asarray(o), jnp.asarray(u), jnp.asarray(v),
+        jnp.asarray(np.stack(tex).astype(np.float32)),
+    )
+
+
+@partial(jax.jit, static_argnames=("length",))
+def _motion_blur(img: jax.Array, direction: jax.Array, length: int):
+    """Directional box blur: average `length` taps along `direction` (px)."""
+    taps = jnp.arange(length, dtype=jnp.float32) - (length - 1) / 2.0
+    offs = taps[:, None] * direction[None, :]  # (L, 2) dy,dx
+
+    def tap(off):
+        return jnp.roll(img, (jnp.round(off[0]).astype(jnp.int32),
+                              jnp.round(off[1]).astype(jnp.int32)), (0, 1))
+
+    return jnp.mean(jax.vmap(tap)(offs), axis=0)
+
+
+def degrade_frame(img, rng: np.random.Generator, gain: float = 1.0,
+                  blur_dir=None, blur_len: int = 0, noise_sigma: float = 0.0):
+    """Photometric degradation pipeline (applied AFTER rendering, like a
+    camera): exposure gain, directional motion blur, sensor noise, 8-bit
+    quantization with saturation."""
+    out = jnp.asarray(img)
+    if blur_len >= 2 and blur_dir is not None:
+        out = _motion_blur(out, jnp.asarray(blur_dir, jnp.float32), int(blur_len))
+    out = out * gain
+    if noise_sigma > 0:
+        out = out + jnp.asarray(
+            rng.standard_normal(np.asarray(img).shape) * noise_sigma, jnp.float32
+        )
+    return jnp.clip(jnp.round(out), 0.0, 255.0)
+
+
+def exposure_schedule(n_frames: int, rng: np.random.Generator,
+                      n_steps: int = 4, lo: float = 0.55, hi: float = 1.7):
+    """Piecewise-constant gain with abrupt steps (auto-exposure jumps)."""
+    gains = np.ones(n_frames, np.float32)
+    cuts = sorted(rng.choice(np.arange(5, n_frames - 1), n_steps, replace=False))
+    g = 1.0
+    prev = 0
+    for c in cuts:
+        gains[prev:c] = g
+        g = float(rng.uniform(lo, hi))
+        prev = c
+    gains[prev:] = g
+    return gains
+
+
 def desk_trajectory(n_frames: int, extent: float = 0.7) -> list[np.ndarray]:
     """fr1/xyz-like sweep: lateral/vertical translation with gentle yaw that
     keeps the desk centered. Returns Tcw list (world = first camera)."""
