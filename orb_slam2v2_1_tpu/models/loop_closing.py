@@ -809,6 +809,11 @@ class LoopCloser:
         self.kf_counter = 0
         self.last_loop_seq = -(1 << 30)
         self.n_loops_closed = 0
+        # Detection rounds skipped because an earlier keyframe in the same
+        # batch already triggered a closure (see detect_batch): the
+        # reference's 10-KF cooldown would veto them anyway, but the skip is
+        # counted, not silent (repo no-silent-caps rule).
+        self.n_detect_suppressed = 0
 
     def enable_detached_gba(self, chunk_iters: int = 3):
         self.detached_gba = True
@@ -932,11 +937,16 @@ class LoopCloser:
         triggers = []
         for i, slot in enumerate(slots):
             self.kf_counter += 1
-            if (
-                triggers
-                or n_live < 12
-                or self.kf_counter - self.last_loop_seq < 10
-            ):
+            if triggers:
+                # One closure per round: a second trigger would land inside
+                # the cooldown the reference enforces between closures
+                # (src/LoopClosing.cc:118-124), so only its detection round
+                # is skipped — counted, and the candidates re-register in
+                # the database for future rounds.
+                self.n_detect_suppressed += 1
+                self.consistency.update([])
+                continue
+            if n_live < 12 or self.kf_counter - self.last_loop_seq < 10:
                 self.consistency.update([])
                 continue
             cands = np.where(cand[i])[0]

@@ -10,6 +10,8 @@ from orb_slam2v2_1_tpu.utils import synthetic
 from orb_slam2v2_1_tpu.utils.config import SlamConfig
 from orb_slam2v2_1_tpu.ops import lie
 
+pytestmark = pytest.mark.slow
+
 # th_depth=100 (depth-point limit = bf*th/fx = 8 m): the room's walls are
 # 3-8 m away; the TUM-style 3.2 m limit would starve the map of depth points
 # whenever only far walls are in view.

@@ -143,6 +143,7 @@ print(json.dumps({
 
 
 class TestLongRun:
+    @pytest.mark.slow
     def test_500_frame_capacity_bounded(self):
         """500-frame orbit at realistic capacity: keyframe count stays
         bounded by culling + slot reuse, tracking survives to the end
