@@ -17,6 +17,21 @@ import sys
 import time
 
 
+def _fmt_stats(st: dict) -> str:
+    """One-line render of SlamSystem.stats() — the FrameDrawer status-bar
+    analog (src/FrameDrawer.cc:132-168): per-stage rolling latency + map
+    counters, printed at interval."""
+
+    def ms(v):
+        return "-" if v is None else f"{v:.1f}"
+
+    return (f"{st['state']} track p50/p90={ms(st['track_ms_p50'])}/"
+            f"{ms(st['track_ms_p90'])}ms map p50={ms(st['map_ms_p50'])}ms "
+            f"loop p50={ms(st['loop_ms_p50'])}ms gba={ms(st['gba_ms_last'])}ms "
+            f"kf={st['n_kf']} loops={st['n_loops']} resets={st['n_resets']} "
+            f"inflight={st['in_flight']} ba_skip={st['ba_skipped']}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="TPU-native ORB-SLAM")
     p.add_argument("--dataset", default="synthetic",
@@ -30,6 +45,9 @@ def main(argv=None):
                    help="record frame/map PNGs (the Pangolin viewer analog)")
     p.add_argument("--frames", type=int, default=60)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--stats-every", type=int, default=30,
+                   help="print SlamSystem.stats() every N frames "
+                        "(per-stage latency + map counters)")
     p.add_argument("--sync", action="store_true",
                    help="synchronous mapping (default: threaded LocalMapping/"
                         "LoopClosing workers, the reference's architecture)")
@@ -85,6 +103,8 @@ def main(argv=None):
                 rec.record(img, slam.last_frame, slam.map, slam.state.name)
             print(f"frame {i:04d}: {slam.state.name:16s} kf={slam.n_kf_host:3d} "
                   f"mp={int(slam.map.mp_valid.sum()):5d} loops={slam.n_loops_closed}")
+            if i and i % args.stats_every == 0:
+                print("  stats:", _fmt_stats(slam.stats()))
         wall = time.time() - t0
     else:
         from .utils import datasets
@@ -103,9 +123,12 @@ def main(argv=None):
             if i % 10 == 0:
                 print(f"frame {i:04d}/{len(pairs)}: {slam.state.name:16s} "
                       f"kf={slam.n_kf_host:3d} loops={slam.n_loops_closed}")
+            if i and i % args.stats_every == 0:
+                print("  stats:", _fmt_stats(slam.stats()))
         wall = time.time() - t0
 
     slam.shutdown()  # drain mapping/loop workers (no-op in --sync mode)
+    print("final stats:", _fmt_stats(slam.stats()))
     slam.save_trajectory_tum(args.out)
     n = len(slam.trajectory.entries)
     print(f"\n{n} frames in {wall:.1f}s ({n/wall:.1f} fps) -> {args.out}")
