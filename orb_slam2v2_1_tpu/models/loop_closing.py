@@ -633,7 +633,8 @@ class GlobalBARunner:
     solve finishes un-aborted; the owner folds it in with
     `merge_gba_into_live` under the structural lock."""
 
-    def __init__(self, K, bf, chunk_iters: int = 3, cg_iters: int = 32, mesh=None):
+    def __init__(self, K, bf, chunk_iters: int = 3, cg_iters: int = 32, mesh=None,
+                 dense_max_cams: int = 128):
         import threading
 
         from ..runtime.native import NativeFlag
@@ -642,6 +643,7 @@ class GlobalBARunner:
         self.bf = bf
         self.chunk_iters = chunk_iters
         self.cg_iters = cg_iters
+        self.dense_max_cams = dense_max_cams
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self.stop_flag = NativeFlag()  # mbStopGBA
         self._thread: threading.Thread | None = None
@@ -704,8 +706,18 @@ class GlobalBARunner:
                 )
                 prob = prob._replace(poses=poses, points=points)
             else:
+                # Explicit dense reduced-camera solve below the crossover:
+                # the CG chunk spends 32 sequential matvecs per LM iteration
+                # on a <=6*dense_max_cams-unknown system; the dense path is
+                # one MXU matmul + Cholesky. Measured on the real chip:
+                # 1.2x (C=16) to 1.73x (C=128) faster per chunk at the
+                # production GBA buckets — the rest of the chunk is the
+                # residual/Jacobian build over O observations, which both
+                # paths share (tools/bench_gba_dense.py, PERF.md gap 3).
+                dense = prob.poses.shape[0] <= self.dense_max_cams
                 prob, _, lam, conv = ba.ba_step_count_lam(
-                    prob, lam, iters=it, cg_iters=self.cg_iters, robust=robust
+                    prob, lam, iters=it, cg_iters=self.cg_iters, robust=robust,
+                    dense=dense,
                 )
             jax.block_until_ready(prob.poses)
             done += it

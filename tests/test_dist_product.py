@@ -28,7 +28,14 @@ def seq():
     cfg = _cfg()
     rng = np.random.default_rng(7)
     scene = synthetic.make_desk(rng)
-    poses = synthetic.desk_trajectory(14)
+    # extent=0.5: 14 frames over the full sweep at the default 0.7 m extent
+    # is ~78 px/frame with ~35 px constant-velocity prediction error — a
+    # whip pan outside the camera-rate envelope the reference operates in
+    # (its keyframe policy assumes frame-rate sampling, src/Tracking.cc:85-87);
+    # 0.35 is so gentle the keyframe policy never fires a second KF. 0.5
+    # yields 2 KFs + clean tracking on both engines — this test pins
+    # mesh-routed local-BA parity, not whip-pan robustness.
+    poses = synthetic.desk_trajectory(14, extent=0.5)
     poses = [p @ np.linalg.inv(poses[0]) for p in poses]
     K = jnp.asarray(cfg.K)
     frames = [
